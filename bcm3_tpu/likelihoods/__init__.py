@@ -1,0 +1,151 @@
+"""Likelihood registry: string type -> pure JAX log-density factory.
+
+TPU-native equivalent of the reference factory
+(reference: src/likelihoods/LikelihoodFactory.cpp:31-101). A likelihood
+is a pure function ``params -> logp`` (plus optional auxiliary outputs),
+configured from the same ``likelihood.xml`` schema the reference uses.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict
+
+import numpy as np
+
+from bcm3_tpu.likelihoods import analytic
+from bcm3_tpu.model.variables import VariableSet
+
+
+@dataclass
+class Likelihood:
+    """A likelihood: pure ``log_prob(params) -> scalar`` JAX function.
+
+    ``log_prob`` must be traceable under jit/vmap. ``learning_rate``
+    tempers the likelihood like the reference's Likelihood::SetLearningRate.
+    """
+
+    name: str
+    log_prob: Callable[[Any], Any]
+    learning_rate: float = 1.0
+    attrs: Dict[str, str] = field(default_factory=dict)
+
+
+def parse_vector(s: str) -> np.ndarray:
+    """Parse 'a;b;c' vectors (reference: src/utils/VectorUtils.cpp:255)."""
+    return np.array([float(v) for v in s.split(";") if v.strip() != ""])
+
+
+def parse_matrix(s: str) -> np.ndarray:
+    """Parse 'a,b;c,d' row-major matrices (reference: src/utils/VectorUtils.cpp)."""
+    rows = [r for r in s.split(";") if r.strip() != ""]
+    return np.array([[float(v) for v in r.split(",")] for r in rows])
+
+
+_REGISTRY: Dict[str, Callable[..., Likelihood]] = {}
+
+
+def register_likelihood(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def available_likelihoods():
+    return sorted(_REGISTRY)
+
+
+def create_likelihood(
+    filename_or_type: str, varset: VariableSet, **kwargs
+) -> Likelihood:
+    """Create a likelihood from a likelihood.xml file or a bare type name.
+
+    reference: src/likelihoods/LikelihoodFactory.cpp:31-101 and
+    src/bcminf/main.cpp:43-50 (likelihood read from XML root
+    <bcm_likelihood type=...>).
+    """
+    attrs: Dict[str, str] = {}
+    if filename_or_type.endswith(".xml"):
+        root = ET.parse(filename_or_type).getroot()
+        if root.tag != "bcm_likelihood":
+            raise ValueError(
+                f"likelihood file root must be bcm_likelihood, got {root.tag}"
+            )
+        ltype = root.get("type")
+        attrs = dict(root.attrib)
+        attrs["_xml_path"] = filename_or_type
+        attrs["_xml_root"] = root  # type: ignore[assignment]
+    else:
+        ltype = filename_or_type
+        attrs = {k: str(v) for k, v in kwargs.items()}
+
+    if ltype not in _REGISTRY:
+        raise ValueError(
+            f"Unknown likelihood type '{ltype}'; available: {available_likelihoods()}"
+        )
+    return _REGISTRY[ltype](varset, attrs)
+
+
+# ---------------------------------------------------------------------------
+# Analytic test likelihoods
+
+
+@register_likelihood("banana")
+def _banana(varset: VariableSet, attrs) -> Likelihood:
+    dim = int(attrs.get("dimension", varset.num_variables))
+    if dim != varset.num_variables:
+        raise ValueError("Banana dimension does not match prior variable count")
+    sd1 = float(attrs["sd1"])
+    sd2 = float(attrs["sd2"])
+    if sd1 <= 0 or sd2 <= 0:
+        raise ValueError("Standard deviations must be positive")
+    return Likelihood("banana", analytic.make_banana(dim, sd1, sd2), attrs=attrs)
+
+
+@register_likelihood("circular")
+def _circular(varset: VariableSet, attrs) -> Likelihood:
+    dim = int(attrs.get("dimension", varset.num_variables))
+    if dim != varset.num_variables:
+        raise ValueError("Circular dimension does not match prior variable count")
+    radius = float(attrs.get("radius", 2.0))
+    offset = float(attrs.get("offset", 3.5))
+    # the reference example file contains width="=0.1"; boost's lexical cast
+    # fails silently into the default there, so strip stray '=' prefixes
+    width = float(str(attrs.get("width", 0.1)).lstrip("="))
+    return Likelihood(
+        "circular", analytic.make_circular(dim, radius, offset, width), attrs=attrs
+    )
+
+
+@register_likelihood("multimodal_gaussians")
+def _multimodal(varset: VariableSet, attrs) -> Likelihood:
+    if varset.num_variables != 2:
+        raise ValueError("multimodal_gaussians requires exactly 2 variables")
+    return Likelihood(
+        "multimodal_gaussians", analytic.make_multimodal_gaussians(), attrs=attrs
+    )
+
+
+@register_likelihood("truncated_t")
+def _truncated_t(varset: VariableSet, attrs) -> Likelihood:
+    dim = int(attrs["dimensions"])
+    if dim != varset.num_variables:
+        raise ValueError("truncated_t dimensions do not match prior variable count")
+    k = int(attrs["num_clusters"])
+    mus = [parse_vector(attrs[f"mu{i+1}"]) for i in range(k)]
+    sigmas = [parse_matrix(attrs[f"sigma{i+1}"]) for i in range(k)]
+    nus = parse_vector(attrs["nus"])
+    weights = parse_vector(attrs["weights"])
+    if len(nus) != k or len(weights) != k:
+        raise ValueError("Inconsistent number of nus/weights")
+    return Likelihood(
+        "truncated_t", analytic.make_truncated_t(mus, sigmas, nus, weights), attrs=attrs
+    )
+
+
+@register_likelihood("dummy")
+def _dummy(varset: VariableSet, attrs) -> Likelihood:
+    return Likelihood("dummy", analytic.make_dummy(), attrs=attrs)

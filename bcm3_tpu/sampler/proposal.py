@@ -1,0 +1,292 @@
+"""Device-side adaptive proposals for the PT sampler.
+
+TPU-native re-design of the reference proposal hierarchy
+(reference: src/sampler/Proposal.cpp, ProposalGaussianMixture.cpp,
+ProposalGlobalCovariance.cpp). The reference holds one C++ object per
+(chain, block); here a proposal for one variable block is a *stacked
+pytree of arrays with a leading chain axis*, padded to a common
+component count, so that drawing/evaluating/adapting proposals for all
+chains is one vmapped, jit-compiled computation — no per-chain objects,
+no host round-trips inside the sampling loop.
+
+Semantics kept bit-faithful to the reference:
+- responsibility-weighted component selection and per-component adaptive
+  scales initialized to 2.38/sqrt(d) (ProposalGaussianMixture.cpp:20-42, 248)
+- the mixture MH correction including its use of -log(scale^2)
+  (ProposalGaussianMixture.cpp:44-63)
+- acceptance-rate-EMA stochastic scale adaptation, clamped to
+  [1e-4, 10] (ProposalGaussianMixture.cpp:65-99, Proposal.cpp:201-222)
+- reflect-on-bounds for bounded priors (Proposal.cpp:385-397)
+- the t-distributed proposal's Gamma(nu/2, scale=nu/2) mixing variable
+  (ProposalGlobalCovariance.cpp:17-23 with RNG::GetGamma's
+  shape/scale convention, src/utils/RNG.cpp:84-110)
+- dimension-dependent target acceptance rates 0.44/0.35/0.30/0.234
+  (Proposal.cpp:47-55)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.linalg import solve_triangular
+from jax.scipy.special import logsumexp
+
+# defaults from the reference Proposal constructor (Proposal.cpp:25-26);
+# the sampler-level recomputed values are never propagated to the proposals
+# in the reference, so these are the values actually in effect.
+SCALING_EMA_PERIOD = 1000.0
+SCALING_LEARNING_RATE = 0.05
+
+# update rules
+RULE_GMM = 0  # ProposalGaussianMixture::Update
+RULE_BASE = 1  # Proposal::Update (used by global_covariance)
+
+
+def target_acceptance_rate(num_variables: int) -> float:
+    """reference: Proposal.cpp:47-55."""
+    if num_variables == 1:
+        return 0.44
+    if num_variables == 2:
+        return 0.35
+    if num_variables == 3:
+        return 0.3
+    return 0.234
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "means",
+        "chols",
+        "log_weights",
+        "log_c",
+        "scales",
+        "acc_ema",
+        "selected",
+    ],
+    meta_fields=["t_dof", "target_accept", "update_rule", "symmetric"],
+)
+@dataclass
+class BlockProposal:
+    """Adaptive mixture proposal for one variable block, stacked over chains.
+
+    Shapes: C = chains, K = padded component count, d = block size.
+    Padding components have log_weights = -inf and identity Cholesky.
+    """
+
+    means: jax.Array  # (C, K, d)
+    chols: jax.Array  # (C, K, d, d) lower
+    log_weights: jax.Array  # (C, K), -inf on padding
+    log_c: jax.Array  # (C, K) log MVN normalization constants
+    scales: jax.Array  # (C, K) per-component adaptive scales
+    acc_ema: jax.Array  # (C, K) acceptance-rate EMAs
+    selected: jax.Array  # (C,) int32, component picked for the previous draw; -1 none
+    t_dof: float = 0.0
+    target_accept: float = 0.234
+    update_rule: int = RULE_GMM
+    symmetric: bool = False  # True for global_covariance (MH ratio 0)
+
+    @property
+    def num_chains(self) -> int:
+        return self.means.shape[0]
+
+    @property
+    def max_components(self) -> int:
+        return self.means.shape[1]
+
+    @property
+    def block_dim(self) -> int:
+        return self.means.shape[2]
+
+
+def reflect_on_bounds(x, lower, upper):
+    """Closed-form equivalent of the reference's reflection loop
+    (reference: Proposal.cpp:385-397): fold x into [lower, upper] as a
+    triangle wave. Infinite bounds pass through unchanged."""
+    span = upper - lower
+    finite = jnp.isfinite(lower) & jnp.isfinite(upper)
+    safe_span = jnp.where(finite, span, 1.0)
+    y = jnp.mod(x - lower, 2.0 * safe_span)
+    y = jnp.where(y > safe_span, 2.0 * safe_span - y, y)
+    folded = lower + y
+    # one-sided bounds: reflect once off the finite side
+    lo_only = jnp.isfinite(lower) & ~jnp.isfinite(upper)
+    hi_only = ~jnp.isfinite(lower) & jnp.isfinite(upper)
+    folded = jnp.where(lo_only, lower + jnp.abs(x - lower), folded)
+    folded = jnp.where(hi_only, upper - jnp.abs(upper - x), folded)
+    return jnp.where(finite, folded, jnp.where(lo_only | hi_only, folded, x))
+
+
+# ---------------------------------------------------------------------------
+# Per-chain kernels (vmapped over the chain axis by the engine)
+
+
+def _component_log_pdfs(prop: BlockProposal, x):
+    """Per-component log N(x; mean_k, Sigma_k) for ONE chain slice.
+
+    prop fields here have shapes (K, d) / (K, d, d); x is (d,).
+    """
+    d = x - prop.means  # (K, d)
+    s = solve_triangular(prop.chols, d[..., None], lower=True)[..., 0]
+    return prop.log_c - 0.5 * jnp.sum(s * s, axis=-1)  # (K,)
+
+
+def responsibilities_log(prop: BlockProposal, x):
+    lp = _component_log_pdfs(prop, x) + prop.log_weights
+    return lp - logsumexp(lp)
+
+
+def update_scales(prop: BlockProposal, key) -> BlockProposal:
+    """Adaptive scale update, one chain slice (reference:
+    ProposalGaussianMixture.cpp:66-86 for the GMM rule, Proposal.cpp:201-212
+    for the base rule used by global_covariance)."""
+    u = jax.random.uniform(key, dtype=prop.scales.dtype)
+    lr = SCALING_LEARNING_RATE
+    t = prop.target_accept
+    n_active = jnp.sum(jnp.isfinite(prop.log_weights))
+
+    if prop.update_rule == RULE_GMM:
+        learn_rate = 1.0 + u * lr * n_active
+        sel = prop.selected
+        valid = sel >= 0
+        sel_c = jnp.clip(sel, 0, prop.scales.shape[0] - 1)
+        ema = prop.acc_ema[sel_c]
+        scale = prop.scales[sel_c]
+        down = ema < t / (1.0 - lr)
+        up = ema > (1.0 + lr) * t
+        new_scale = jnp.where(
+            down,
+            jnp.maximum(scale / learn_rate, 1e-4),
+            jnp.where(up, jnp.minimum(scale * learn_rate, 10.0), scale),
+        )
+        scales = jnp.where(
+            valid, prop.scales.at[sel_c].set(new_scale), prop.scales
+        )
+    else:
+        learn_rate = 1.0 + u * lr
+        ema = prop.acc_ema[0]
+        scale = prop.scales[0]
+        down = ema < 0.952381 * t
+        up = ema > 1.05 * t
+        new_scale = jnp.where(
+            down,
+            jnp.maximum(scale / learn_rate, 1e-4),
+            jnp.where(up, jnp.minimum(scale * learn_rate, 10.0), scale),
+        )
+        scales = prop.scales.at[0].set(new_scale)
+
+    return dataclasses.replace(prop, scales=scales)
+
+
+def propose(prop: BlockProposal, x_block, lower, upper, key):
+    """Draw a new block position, one chain slice (reference:
+    ProposalGaussianMixture.cpp:20-42). Returns (new_block, selected)."""
+    kk, kz, kg = jax.random.split(key, 3)
+    log_resp = responsibilities_log(prop, x_block)
+    selected = jax.random.categorical(kk, log_resp)
+
+    z = jax.random.normal(kz, x_block.shape, dtype=x_block.dtype)
+    step = prop.chols[selected] @ z
+
+    if prop.t_dof > 0.0:
+        # reference quirk preserved: w ~ Gamma(nu/2, SCALE=nu/2)
+        w = jax.random.gamma(kg, 0.5 * prop.t_dof, dtype=x_block.dtype) * (
+            0.5 * prop.t_dof
+        )
+        t_scale = jax.lax.rsqrt(w)
+    else:
+        t_scale = jnp.asarray(1.0, dtype=x_block.dtype)
+
+    new_block = x_block + step * (t_scale * prop.scales[selected])
+    new_block = reflect_on_bounds(new_block, lower, upper)
+    return new_block, selected.astype(jnp.int32)
+
+
+def mh_log_ratio(prop: BlockProposal, x_block, new_block):
+    """Mixture MH correction, one chain slice (reference:
+    ProposalGaussianMixture.cpp:44-63, including the -log(scale^2) factor
+    which the reference uses regardless of block dimension)."""
+    if prop.symmetric:
+        return jnp.zeros((), dtype=x_block.dtype)
+    log_fwd_resp = responsibilities_log(prop, x_block)
+    log_rev_resp = responsibilities_log(prop, new_block)
+
+    v = (new_block - x_block)[None, :] / prop.scales[:, None]  # (K, d)
+    s_fwd = solve_triangular(prop.chols, v[..., None], lower=True)[..., 0]
+    # the Gaussian is symmetric in v -> forward and reverse Mahalanobis terms
+    # are identical; only the responsibilities differ
+    quad = -0.5 * jnp.sum(s_fwd * s_fwd, axis=-1)
+    base = -2.0 * jnp.log(prop.scales) + prop.log_c + quad
+    fwd = logsumexp(base + log_fwd_resp)
+    rev = logsumexp(base + log_rev_resp)
+    return rev - fwd
+
+
+def notify_accepted(prop: BlockProposal, accepted) -> BlockProposal:
+    """EMA update for the selected component, one chain slice (reference:
+    ProposalGaussianMixture.cpp:89-99; base rule Proposal.cpp:214-222
+    also only has the single slot 0 for global_covariance)."""
+    ema_alpha = 2.0 / (SCALING_EMA_PERIOD + 1.0)
+    sel = jnp.clip(prop.selected, 0, prop.acc_ema.shape[0] - 1)
+    target = jnp.where(accepted, 1.0, 0.0).astype(prop.acc_ema.dtype)
+    new_ema = prop.acc_ema[sel] + (target - prop.acc_ema[sel]) * ema_alpha
+    return dataclasses.replace(prop, acc_ema=prop.acc_ema.at[sel].set(new_ema))
+
+
+# ---------------------------------------------------------------------------
+# Host-side construction
+
+
+def build_block_proposal(
+    gmms,
+    num_chains: int,
+    block_dim: int,
+    dtype,
+    t_dof: float = 0.0,
+    proposal_type: str = "gaussian_mixture",
+) -> BlockProposal:
+    """Assemble a stacked BlockProposal from per-chain host GMM fits.
+
+    ``gmms`` is a list of length num_chains of bcm3_tpu.stats.gmm.GMM
+    (one per chain; chains whose fit failed should already carry the
+    prior-variance fallback). Components are padded to the max K.
+    """
+    K = max(g.num_components for g in gmms)
+    d = block_dim
+    means = np.zeros((num_chains, K, d))
+    chols = np.tile(np.eye(d), (num_chains, K, 1, 1))
+    log_w = np.full((num_chains, K), -np.inf)
+    log_c = np.zeros((num_chains, K))
+    scales = np.full((num_chains, K), 2.38 / np.sqrt(d))
+    ta = target_acceptance_rate(d)
+    acc_ema = np.full((num_chains, K), ta)
+
+    for c, g in enumerate(gmms):
+        k = g.num_components
+        means[c, :k] = g.means
+        chols[c, :k] = g.chols
+        with np.errstate(divide="ignore"):
+            log_w[c, :k] = np.log(g.weights)
+        log_c[c, :k] = g.log_c
+
+    rule = RULE_BASE if proposal_type == "global_covariance" else RULE_GMM
+    symmetric = proposal_type == "global_covariance"
+    return BlockProposal(
+        means=jnp.asarray(means, dtype=dtype),
+        chols=jnp.asarray(chols, dtype=dtype),
+        log_weights=jnp.asarray(log_w, dtype=dtype),
+        log_c=jnp.asarray(log_c, dtype=dtype),
+        scales=jnp.asarray(scales, dtype=dtype),
+        acc_ema=jnp.asarray(acc_ema, dtype=dtype),
+        selected=jnp.full((num_chains,), -1, dtype=jnp.int32),
+        t_dof=float(t_dof),
+        target_accept=ta,
+        update_rule=rule,
+        symmetric=symmetric,
+    )

@@ -1,0 +1,813 @@
+"""Parallel-tempered Metropolis-Hastings sampler, TPU-native.
+
+Re-design of the reference PT engine (reference: src/sampler/SamplerPT.cpp,
+SamplerPTChain.cpp) for the XLA compilation model:
+
+- the reference advances each tempered chain as a thread-pool task
+  (SamplerPT.cpp:308-319); here the whole chain population is one stacked
+  array advanced by a single jit-compiled, vmapped update, so every
+  likelihood evaluation in an iteration is one batched call that can fill
+  the MXU/VPU;
+- whole *segments* of the run (all iterations between two proposal
+  adaptations) execute on device inside one `lax.scan`, emitting thinned
+  samples; the host is only involved at adaptation boundaries, where it
+  pulls the device sample history, fits GMMs (bcm3_tpu/stats/gmm.py) and
+  pushes back new stacked proposal arrays — mirroring the reference's
+  pause-adapt-reset structure (SamplerPT.cpp:231-249) as a natural jit
+  boundary;
+- replica exchange (SamplerPT.cpp:277-306) is a masked permutation of the
+  chain axis computed from even/odd pair parity — a static collective
+  pattern when the chain axis is sharded over a device mesh;
+- per-thread RNG (Sampler.cpp:91-98) is replaced by counter-based
+  `jax.random` keys split per (iteration, chain), making runs reproducible
+  independent of device count — removing the reference's thread-count
+  dependent seeding caveat (Sampler.cpp:147).
+
+Statistical semantics kept faithful:
+- power posterior lprior + T*llh with the T=0 chain sampling directly
+  from the prior and the -inf*0 convention (SamplerPTChain.cpp:221-240)
+- power-law temperature ladder with T[0] = 0 (SamplerPT.cpp:87-93)
+- deterministic/stochastic even-odd and stochastic-random swap schemes
+  (SamplerPT.cpp:28-32, 277-306)
+- per-block proposals with the mixture MH correction and acceptance-EMA
+  scale adaptation (see bcm3_tpu/sampler/proposal.py)
+- float32 ring-buffer sample history with subsampling (SampleHistory.cpp)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bcm3_tpu.likelihoods import Likelihood
+from bcm3_tpu.model.prior import Prior
+from bcm3_tpu.sampler import blocking as blocking_mod
+from bcm3_tpu.sampler import proposal as prop_mod
+from bcm3_tpu.sampler.proposal import BlockProposal
+from bcm3_tpu.stats.gmm import GMM, fit_gmm_best_aic, fit_gmm
+
+logger = logging.getLogger("bcm3_tpu.sampler")
+
+_NEG_INF = -np.inf
+
+
+@dataclass
+class PTConfig:
+    """Sampler configuration; defaults match the reference option tables
+    (reference: Sampler.cpp:142-149, SamplerPT.cpp:147-172)."""
+
+    num_samples: int = 2500
+    use_every_nth: int = 1
+    seed: int = 0
+
+    num_chains: int = 6
+    blocking_strategy: str = "one_block"
+    proposal_type: str = "gaussian_mixture"
+    adapt_proposal_samples: int = 2000
+    adapt_proposal_times: int = 2
+    max_history_size: int = 2000
+    adapt_proposal_max_history_samples: int = 2000
+    adapt_proposal_max_clustering_samples: int = 1000
+    stop_proposal_scaling: int = 6000
+    sample_clustering_nn: int = 3
+    sample_clustering_nn2: int = 7
+    sample_clustering_num_clusters: int = 4
+    swapping_scheme: str = "deterministic_even_odd"
+    exchange_probability: float = 0.5
+    num_exploration_steps: int = 1
+    temperature_schedule_power: float = 3.0
+    temperature_schedule_max: float = 1.0
+    output_proposal_adaptation: bool = False
+    proposal_t_dof: float = 0.0
+    initial_position_tries: int = 100
+    dtype: Any = None  # defaults to float64 under x64, else float32
+
+    def resolved_dtype(self):
+        if self.dtype is not None:
+            return self.dtype
+        return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def temperature_ladder(
+    num_chains: int, power: float = 3.0, t_max: float = 1.0
+) -> np.ndarray:
+    """Power-law ladder with T[0] = 0 (reference: SamplerPT.cpp:87-93)."""
+    temps = np.zeros(num_chains)
+    for i in range(1, num_chains - 1):
+        temps[i] = t_max * (i / (num_chains - 1)) ** power
+    temps[num_chains - 1] = t_max
+    return temps
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "x",
+        "lprior",
+        "llh",
+        "att_mut",
+        "acc_mut",
+        "att_exc",
+        "acc_exc",
+        "history",
+        "hist_adds",
+        "swap_parity",
+        "key",
+    ],
+    meta_fields=[],
+)
+@dataclass
+class PTState:
+    x: jax.Array  # (C, D)
+    lprior: jax.Array  # (C,)
+    llh: jax.Array  # (C,)
+    att_mut: jax.Array  # (C,) int32
+    acc_mut: jax.Array  # (C,)
+    att_exc: jax.Array  # (C,)
+    acc_exc: jax.Array  # (C,)
+    history: jax.Array  # (C, H, D) float32 ring buffer
+    hist_adds: jax.Array  # () int32 — number of AddSample calls (lockstep)
+    swap_parity: jax.Array  # () int32: 0 -> next swap starts even
+    key: jax.Array
+
+
+class SamplerPT:
+    """Parallel-tempered MH sampler over a chain population."""
+
+    def __init__(
+        self,
+        prior: Prior,
+        likelihood: Likelihood,
+        config: PTConfig,
+        sample_handlers: Optional[Sequence] = None,
+    ):
+        self.prior = prior
+        self.likelihood = likelihood
+        self.config = config
+        self.sample_handlers = list(sample_handlers or [])
+        self.dtype = config.resolved_dtype()
+
+        C = config.num_chains
+        self.num_chains = C
+        self.num_variables = prior.num_variables
+        self.temperatures = temperature_ladder(
+            C, config.temperature_schedule_power, config.temperature_schedule_max
+        )
+
+        ptype = config.proposal_type
+        if ptype == "parametric_mixture":
+            # legacy alias used by reference example configs
+            ptype = "gaussian_mixture"
+        if ptype not in (
+            "gaussian_mixture",
+            "gaussian_mixture_adjustedAIC",
+            "global_covariance",
+            "clustered_covariance",
+        ):
+            raise ValueError(f"Unknown proposal type '{config.proposal_type}'")
+        if ptype == "clustered_covariance":
+            raise NotImplementedError(
+                "clustered_covariance proposals are not implemented yet"
+            )
+        self.proposal_type = ptype
+
+        # History sizing (reference: SamplerPT.cpp:115-128)
+        expected = config.adapt_proposal_samples * config.use_every_nth
+        if C > 1 and config.swapping_scheme == "deterministic_even_odd":
+            expected *= config.num_exploration_steps + 1
+        if expected == 0:
+            expected = 1
+        self.history_subsampling = max(
+            1, (expected + config.max_history_size - 1) // config.max_history_size
+        )
+        self.history_size = max(1, expected // self.history_subsampling)
+
+        self.adaptations_done = 0
+        self.blocks: List[np.ndarray] = blocking_mod.get_blocks(
+            "one_block"
+            if config.blocking_strategy in ("one_block",)
+            else "no_blocking"
+            if config.blocking_strategy == "no_blocking"
+            else "no_blocking",  # Turek variants start unblocked (no history yet)
+            self.num_variables,
+        )
+        if config.blocking_strategy not in (
+            "one_block",
+            "no_blocking",
+            "Turek",
+            "clustered_autoblock",
+        ):
+            raise ValueError(
+                f"Unknown blocking strategy '{config.blocking_strategy}'"
+            )
+
+        self.proposals: List[BlockProposal] = self._initial_proposals(self.blocks)
+
+        # RNG streams: device sampling key + host adaptation rng
+        seed = config.seed if config.seed != 0 else int(time.time_ns() % (2**31))
+        self._root_key = jax.random.PRNGKey(seed)
+        self._host_rng = np.random.default_rng(seed ^ 0x9E3779B9)
+
+        self.total_evaluations = 0
+        self._segment_fns = {}
+
+    # ------------------------------------------------------------------
+    # Proposal construction
+
+    def _fallback_gmm(self, block: np.ndarray) -> GMM:
+        """Single Gaussian with prior mean/variance (reference:
+        ProposalGaussianMixture.cpp:212-246)."""
+        mean = self.prior.marginal_mean()[block]
+        var = self.prior.marginal_variance()[block]
+        gmm = GMM.from_params(
+            mean[None, :], np.diag(var)[None, :, :], np.ones(1)
+        )
+        if gmm is None:
+            gmm = GMM.from_params(
+                np.zeros((1, len(block))),
+                np.eye(len(block))[None],
+                np.ones(1),
+            )
+        return gmm
+
+    def _initial_proposals(self, blocks: List[np.ndarray]) -> List[BlockProposal]:
+        props = []
+        for block in blocks:
+            fallback = self._fallback_gmm(block)
+            prop = prop_mod.build_block_proposal(
+                [fallback] * self.num_chains,
+                self.num_chains,
+                len(block),
+                self.dtype,
+                t_dof=self.config.proposal_t_dof,
+                proposal_type=self.proposal_type,
+            )
+            props.append(prop)
+        return props
+
+    # ------------------------------------------------------------------
+    # Device-side evaluation
+
+    def _evaluate(self, x):
+        """Batched prior + likelihood evaluation. x: (C, D).
+
+        NaNs are mapped to -inf (proposal rejection), the framework-level
+        equivalent of the reference's soft-fail convention
+        (reference: LikelihoodPopPKTrajectory.cpp:400-424).
+        """
+        lprior = self.prior.log_pdf(x)
+        llh = jax.vmap(self.likelihood.log_prob)(x)
+        if self.likelihood.learning_rate != 1.0:
+            llh = llh * self.likelihood.learning_rate
+        lprior = jnp.where(jnp.isnan(lprior), _NEG_INF, lprior)
+        llh = jnp.where(jnp.isnan(llh), _NEG_INF, llh)
+        return lprior.astype(self.dtype), llh.astype(self.dtype)
+
+    def _lpp(self, lprior, llh, temps):
+        """Power posterior with the reference's T=0 convention
+        (reference: SamplerPTChain.cpp:231-237)."""
+        return jnp.where(temps == 0.0, lprior, lprior + temps * llh)
+
+    # ------------------------------------------------------------------
+    # Moves
+
+    def _history_add(self, state: PTState, x, mask=None) -> PTState:
+        """Ring-buffer add with subsampling for all T != 0 chains
+        (reference: SampleHistory.cpp AddSample)."""
+        n = state.hist_adds + 1
+        do_write = (n % self.history_subsampling) == 0
+        ix = ((n // self.history_subsampling) - 1) % self.history_size
+        temps = jnp.asarray(self.temperatures, dtype=self.dtype)
+        write_mask = temps != 0.0
+        if mask is not None:
+            write_mask = write_mask & mask
+        rows = jnp.where(
+            write_mask[:, None], x.astype(jnp.float32), state.history[:, ix, :]
+        )
+        new_hist = jax.lax.cond(
+            do_write,
+            lambda h: jax.lax.dynamic_update_slice(
+                h, rows[:, None, :], (jnp.int32(0), ix.astype(jnp.int32), jnp.int32(0))
+            ),
+            lambda h: h,
+            state.history,
+        )
+        return dataclasses.replace(state, history=new_hist, hist_adds=n)
+
+    def _mutate(self, state: PTState, proposals, key):
+        """One mutate move for the whole chain population
+        (reference: SamplerPTChain.cpp MutateMove:217-313)."""
+        C, D = state.x.shape
+        temps = jnp.asarray(self.temperatures, dtype=self.dtype)
+        t0_mask = temps == 0.0
+
+        x = state.x
+        lprior = state.lprior
+        llh = state.llh
+        att_mut = state.att_mut
+        acc_mut = state.acc_mut
+        new_proposals = []
+
+        k_prior, key = jax.random.split(key)
+        prior_draw = self.prior.sample(k_prior, (C,)).astype(self.dtype)
+
+        for bi, block in enumerate(self.blocks):
+            prop = proposals[bi]
+            block_idx = jnp.asarray(block)
+            lower = jnp.asarray(self.prior.lower[block], dtype=self.dtype)
+            upper = jnp.asarray(self.prior.upper[block], dtype=self.dtype)
+
+            kb = jax.random.fold_in(key, bi)
+            k_upd, k_prop, k_acc = jax.random.split(kb, 3)
+            chain_keys_upd = jax.random.split(k_upd, C)
+            chain_keys_prop = jax.random.split(k_prop, C)
+
+            # 1. adaptive scale update (skipped for T=0 chains)
+            prop_upd = jax.vmap(prop_mod.update_scales)(prop, chain_keys_upd)
+            prop = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(t0_mask, (C,) + (1,) * (new.ndim - 1)), old, new
+                ),
+                prop_upd,
+                prop,
+            )
+
+            # 2. propose new block positions
+            x_block = x[:, block_idx]
+            new_block, selected = jax.vmap(
+                lambda p, xb, k: prop_mod.propose(p, xb, lower, upper, k)
+            )(prop, x_block, chain_keys_prop)
+
+            x_new = x.at[:, block_idx].set(new_block)
+            # T=0 chains: direct prior draw replaces the whole vector, and
+            # only in the first block (reference: SamplerPTChain.cpp:221-240)
+            if bi == 0:
+                x_new = jnp.where(t0_mask[:, None], prior_draw, x_new)
+            else:
+                x_new = jnp.where(t0_mask[:, None], x, x_new)
+
+            # Dirichlet residual overwrite (reference: SamplerPTChain.cpp:270-278)
+            for blk in self.prior.dirichlet_blocks:
+                s = blk.start
+                r = blk.residual_index
+                head = x_new[:, s:r]
+                x_new = x_new.at[:, r].set(1.0 - jnp.sum(head, axis=1))
+
+            # 3. evaluate
+            new_lprior, new_llh = self._evaluate(x_new)
+            new_lpp = self._lpp(new_lprior, new_llh, temps)
+            cur_lpp = self._lpp(lprior, llh, temps)
+
+            # 4. MH test (reference: SamplerPTChain.cpp TestSample:465-482)
+            prop = dataclasses.replace(prop, selected=selected)
+            mh = jax.vmap(prop_mod.mh_log_ratio)(prop, x_block, new_block)
+            log_u = jnp.log(
+                jax.random.uniform(jax.random.fold_in(k_acc, 1), (C,), dtype=self.dtype)
+            )
+            finite = new_lpp > _NEG_INF
+            accept = finite & (log_u < (new_lpp - cur_lpp) + mh)
+            accept = jnp.where(t0_mask, bi == 0, accept)  # T=0: always accept once
+
+            x = jnp.where(accept[:, None], x_new, x)
+            lprior = jnp.where(accept, new_lprior, lprior)
+            llh = jnp.where(accept, new_llh, llh)
+
+            # 5. acceptance bookkeeping
+            counted = jnp.where(t0_mask, bi == 0, True)
+            att_mut = att_mut + counted.astype(att_mut.dtype)
+            acc_mut = acc_mut + (accept & counted).astype(acc_mut.dtype)
+
+            prop_notified = jax.vmap(prop_mod.notify_accepted)(prop, accept)
+            prop = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(t0_mask, (C,) + (1,) * (new.ndim - 1)), old, new
+                ),
+                prop_notified,
+                prop,
+            )
+            new_proposals.append(prop)
+
+        state = dataclasses.replace(
+            state,
+            x=x,
+            lprior=lprior,
+            llh=llh,
+            att_mut=att_mut,
+            acc_mut=acc_mut,
+        )
+        state = self._history_add(state, x)
+        return state, tuple(new_proposals)
+
+    def _exchange(self, state: PTState, key):
+        """Even/odd replica exchange as a masked chain-axis permutation
+        (reference: SamplerPT.cpp DoExchangeMove:277-306,
+        SamplerPTChain.cpp ExchangeMove:328-381)."""
+        C = self.num_chains
+        temps = jnp.asarray(self.temperatures, dtype=self.dtype)
+        idx = jnp.arange(C)
+
+        # previous_swap_even toggling (reference: SamplerPT.cpp:283-291)
+        start = jnp.where(state.swap_parity == 1, 1, 0)
+        new_parity = 1 - state.swap_parity
+
+        if self.config.swapping_scheme == "stochastic_random":
+            ci = jax.random.randint(jax.random.fold_in(key, 7), (), 0, max(C - 1, 1))
+            is_leader = idx == ci
+        else:
+            rel = idx - start
+            is_leader = (rel >= 0) & (rel % 2 == 0)
+            if C % 2 == 1:
+                # odd chain counts: the wrap-around pair (C-1, 0) is handled
+                # by the reference sequentially after (0,1); we drop the
+                # wrap-around leader instead (the pair re-forms next parity)
+                is_leader = is_leader & (idx != C - 1)
+
+        partner = (idx + 1) % C
+
+        lprior_p = state.lprior[partner]
+        llh_p = state.llh[partner]
+        # proposed power posteriors after a hypothetical swap
+        prop_lpp_self = jnp.where(
+            temps == 0.0, lprior_p, temps * llh_p + lprior_p
+        )
+        temps_partner = temps[partner]
+        prop_lpp_partner = jnp.where(
+            temps_partner == 0.0,
+            state.lprior,
+            temps_partner * state.llh + state.lprior,
+        )
+        cur_lpp = self._lpp(state.lprior, state.llh, temps)
+        log_tp = (prop_lpp_self + prop_lpp_partner) - (cur_lpp + cur_lpp[partner])
+
+        u = jax.random.uniform(key, (C,), dtype=self.dtype)
+        swap_leader = is_leader & (jnp.log(u) < log_tp)
+        swap_follower = jnp.roll(swap_leader, 1)
+        perm = jnp.where(
+            swap_leader, partner, jnp.where(swap_follower, (idx - 1) % C, idx)
+        )
+
+        x = state.x[perm]
+        lprior = state.lprior[perm]
+        llh = state.llh[perm]
+
+        att_exc = state.att_exc + is_leader.astype(state.att_exc.dtype)
+        acc_exc = state.acc_exc + swap_leader.astype(state.acc_exc.dtype)
+
+        state = dataclasses.replace(
+            state,
+            x=x,
+            lprior=lprior,
+            llh=llh,
+            att_exc=att_exc,
+            acc_exc=acc_exc,
+            swap_parity=new_parity,
+        )
+        # both members of every pair record history (T != 0 chains);
+        # (reference: SamplerPTChain.cpp:370-376). With the stochastic_random
+        # scheme only the chosen pair participates.
+        if self.config.swapping_scheme == "stochastic_random":
+            participated = is_leader | jnp.roll(is_leader, 1)
+            state = self._history_add(state, x, mask=participated)
+        else:
+            if C % 2 == 1:
+                participated = is_leader | jnp.roll(is_leader, 1)
+                state = self._history_add(state, x, mask=participated)
+            else:
+                state = self._history_add(state, x)
+        return state
+
+    # ------------------------------------------------------------------
+    # Iteration + segment
+
+    def _iteration(self, carry, key):
+        state, proposals = carry
+        scheme = self.config.swapping_scheme
+        C = self.num_chains
+
+        if C > 1 and scheme in ("stochastic_random", "stochastic_even_odd"):
+            k_choice, k_move = jax.random.split(key)
+            u = jax.random.uniform(k_choice, dtype=self.dtype)
+
+            def do_exchange(args):
+                st, props = args
+                return self._exchange(st, k_move), props
+
+            def do_mutate(args):
+                st, props = args
+                return self._mutate(st, props, k_move)
+
+            state, proposals = jax.lax.cond(
+                u < self.config.exchange_probability,
+                do_exchange,
+                do_mutate,
+                (state, proposals),
+            )
+        elif C > 1:  # deterministic_even_odd
+            k_exc, k_mut = jax.random.split(key)
+            state = self._exchange(state, k_exc)
+            for ei in range(self.config.num_exploration_steps):
+                state, proposals = self._mutate(
+                    state, proposals, jax.random.fold_in(k_mut, ei)
+                )
+        else:
+            state, proposals = self._mutate(state, proposals, key)
+
+        return (state, proposals)
+
+    def _make_segment_fn(self, n_emit: int):
+        nth = self.config.use_every_nth
+
+        def emit_step(carry, _):
+            state, proposals = carry
+            for _i in range(nth):
+                key, new_key = jax.random.split(state.key)
+                state = dataclasses.replace(state, key=new_key)
+                state, proposals = self._iteration((state, proposals), key)
+            out = (state.x, state.lprior, state.llh)
+            return (state, proposals), out
+
+        def run_segment(state, proposals):
+            (state, proposals), ys = jax.lax.scan(
+                emit_step, (state, proposals), None, length=n_emit
+            )
+            return state, proposals, ys
+
+        return jax.jit(run_segment, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # Host orchestration
+
+    def _find_starting_position(self, key) -> PTState:
+        """Prior draws until every chain has a finite power posterior
+        (reference: SamplerPTChain.cpp FindStartingPosition:188-215)."""
+        C = self.num_chains
+        temps = jnp.asarray(self.temperatures, dtype=self.dtype)
+
+        @jax.jit
+        def attempt(carry, k):
+            x, lprior, llh, found = carry
+            draw = self.prior.sample(k, (C,)).astype(self.dtype)
+            dl, dllh = self._evaluate(draw)
+            lpp = self._lpp(dl, dllh, temps)
+            ok = jnp.isfinite(lpp)
+            take = ok & ~found
+            x = jnp.where(take[:, None], draw, x)
+            lprior = jnp.where(take, dl, lprior)
+            llh = jnp.where(take, dllh, llh)
+            return (x, lprior, llh, found | ok), None
+
+        keys = jax.random.split(key, self.config.initial_position_tries)
+        init = (
+            jnp.zeros((C, self.num_variables), dtype=self.dtype),
+            jnp.full((C,), _NEG_INF, dtype=self.dtype),
+            jnp.full((C,), _NEG_INF, dtype=self.dtype),
+            jnp.zeros((C,), dtype=bool),
+        )
+        (x, lprior, llh, found), _ = jax.lax.scan(attempt, init, keys)
+        if not bool(jnp.all(found)):
+            raise RuntimeError(
+                "Could not find starting position with finite power posterior "
+                f"after {self.config.initial_position_tries} tries"
+            )
+        return x, lprior, llh
+
+    def _init_state(self) -> PTState:
+        k_start, k_run = jax.random.split(self._root_key)
+        x, lprior, llh = self._find_starting_position(k_start)
+        C = self.num_chains
+        return PTState(
+            x=x,
+            lprior=lprior,
+            llh=llh,
+            att_mut=jnp.zeros(C, dtype=jnp.int32),
+            acc_mut=jnp.zeros(C, dtype=jnp.int32),
+            att_exc=jnp.zeros(C, dtype=jnp.int32),
+            acc_exc=jnp.zeros(C, dtype=jnp.int32),
+            history=jnp.zeros(
+                (C, self.history_size, self.num_variables), dtype=jnp.float32
+            ),
+            hist_adds=jnp.zeros((), dtype=jnp.int32),
+            swap_parity=jnp.zeros((), dtype=jnp.int32),
+            key=k_run,
+        )
+
+    def _history_matrices(self, state: PTState) -> Tuple[np.ndarray, int]:
+        hist = np.asarray(state.history, dtype=np.float64)
+        adds = int(state.hist_adds)
+        count = min(self.history_size, adds // self.history_subsampling)
+        return hist[:, :count, :], count
+
+    def _downsample_history(self, h: np.ndarray) -> np.ndarray:
+        """Subsample-then-random-discard (reference: Proposal.cpp:86-129)."""
+        max_n = self.config.adapt_proposal_max_history_samples
+        n = len(h)
+        if n <= max_n:
+            return h
+        stride = n // max_n
+        if stride > 1:
+            ix = np.arange(0, (n // stride)) * stride
+        else:
+            ix = np.arange(n)
+        ix = list(ix)
+        while len(ix) > max_n:
+            drop = int(self._host_rng.integers(0, len(ix)))
+            ix.pop(drop)
+        return h[np.asarray(ix)]
+
+    def _adapt_proposals(self, state: PTState):
+        """Host-side proposal adaptation (reference:
+        SamplerPTChain.cpp AdaptProposal:109-173).
+
+        Pulls the device history, re-computes blocks, fits GMMs per
+        (chain, block), pushes back stacked proposal arrays and resets
+        the history.
+        """
+        hist, count = self._history_matrices(state)
+        logger.info("Proposal adaptation with %d history samples", count)
+
+        # blocking from the fixed-temperature chain's history
+        # (design deviation from the reference, which blocks per chain: a
+        # single block structure is required to batch chains on device)
+        if self.config.blocking_strategy in ("Turek", "clustered_autoblock"):
+            self.blocks = blocking_mod.get_blocks(
+                "Turek", self.num_variables, hist[-1] if count > 2 else None
+            )
+        select_adjusted = self.proposal_type == "gaussian_mixture_adjustedAIC"
+
+        new_proposals = []
+        adaptation_record = []
+        for block in self.blocks:
+            gmms = []
+            for c in range(self.num_chains):
+                if self.temperatures[c] == 0.0:
+                    gmms.append(self._fallback_gmm(block))
+                    continue
+                h = self._downsample_history(hist[c][:, block])
+                if self.proposal_type == "global_covariance":
+                    gmm = self._fit_global_covariance(h, block)
+                else:
+                    gmm = None
+                    if len(h) >= 2:
+                        gmm = fit_gmm_best_aic(
+                            h,
+                            self._host_rng,
+                            select_with_adjusted_aic=select_adjusted,
+                            log=logger.debug,
+                        )
+                    if gmm is None:
+                        gmm = self._fallback_gmm(block)
+                gmms.append(gmm)
+            adaptation_record.append((block, gmms))
+            new_proposals.append(
+                prop_mod.build_block_proposal(
+                    gmms,
+                    self.num_chains,
+                    len(block),
+                    self.dtype,
+                    t_dof=self.config.proposal_t_dof,
+                    proposal_type=self.proposal_type,
+                )
+            )
+        self.proposals = new_proposals
+
+        # reset history (reference: SamplerPTChain.cpp:170-171)
+        state = dataclasses.replace(
+            state,
+            hist_adds=jnp.zeros((), dtype=jnp.int32),
+        )
+        return state, adaptation_record
+
+    def _fit_global_covariance(self, h: np.ndarray, block: np.ndarray) -> GMM:
+        """Empirical covariance proposal (reference:
+        ProposalGlobalCovariance.cpp InitializeImpl:64-105)."""
+        d = len(block)
+        prior_var = self.prior.marginal_variance()[block]
+        if len(h) < 2:
+            cov = np.diag(prior_var)
+            mean = self.prior.marginal_mean()[block]
+        else:
+            cov = np.cov(h, rowvar=False, ddof=1).reshape(d, d)
+            diag = np.maximum(np.diag(cov), 1e-6 * prior_var)
+            cov[np.diag_indices(d)] = diag
+            mean = h.mean(axis=0)
+        gmm = GMM.from_params(mean[None], cov[None], np.ones(1))
+        if gmm is None:
+            cov = cov + np.eye(d) * (1e-8 + np.abs(np.diag(cov)).max() * 1e-6)
+            gmm = GMM.from_params(mean[None], cov[None], np.ones(1))
+        if gmm is None:
+            gmm = self._fallback_gmm(block)
+        return gmm
+
+    # ------------------------------------------------------------------
+    # Main loop
+
+    def run(self):
+        """Run the sampler (reference: SamplerPT.cpp RunImpl:185-260).
+
+        Returns a dict with samples (S, C, D), log_prior (S, C),
+        log_likelihood (S, C), temperatures and acceptance statistics.
+        """
+        cfg = self.config
+        t_start = time.time()
+        state = self._init_state()
+        proposals = tuple(self.proposals)
+
+        all_x, all_lprior, all_llh = [], [], []
+        emitted = 0
+        adaptation_records = []
+        while emitted < cfg.num_samples:
+            if (
+                cfg.adapt_proposal_samples > 0
+                and self.adaptations_done < cfg.adapt_proposal_times
+            ):
+                next_adapt = (
+                    (emitted // cfg.adapt_proposal_samples) + 1
+                ) * cfg.adapt_proposal_samples
+            else:
+                next_adapt = cfg.num_samples
+            stop = min(cfg.num_samples, next_adapt)
+            n_emit = stop - emitted
+
+            seg_key = (
+                n_emit,
+                tuple(p.max_components for p in proposals),
+                tuple(tuple(int(v) for v in b) for b in self.blocks),
+            )
+            if seg_key not in self._segment_fns:
+                self._segment_fns[seg_key] = self._make_segment_fn(n_emit)
+            state, proposals, ys = self._segment_fns[seg_key](state, proposals)
+
+            xs, lps, lls = ys
+            all_x.append(np.asarray(xs))
+            all_lprior.append(np.asarray(lps))
+            all_llh.append(np.asarray(lls))
+            emitted = stop
+
+            for handler in self.sample_handlers:
+                handler.receive_samples(
+                    np.asarray(xs), np.asarray(lps), np.asarray(lls), self.temperatures
+                )
+
+            if (
+                cfg.adapt_proposal_samples > 0
+                and emitted % cfg.adapt_proposal_samples == 0
+                and emitted != cfg.num_samples
+                and self.adaptations_done < cfg.adapt_proposal_times
+            ):
+                self._log_statistics(state)
+                logger.info("Updating proposal...")
+                state, record = self._adapt_proposals(state)
+                adaptation_records.append(record)
+                proposals = tuple(self.proposals)
+                self.adaptations_done += 1
+
+        elapsed = time.time() - t_start
+        self.total_evaluations = int(np.asarray(state.att_mut).sum())
+        evals_per_sec = self.total_evaluations / max(elapsed, 1e-9)
+        logger.info(
+            "Sampling finished: %d evaluations in %.2fs (%.1f evals/s)",
+            self.total_evaluations,
+            elapsed,
+            evals_per_sec,
+        )
+        self._log_statistics(state)
+
+        return {
+            "samples": np.concatenate(all_x, axis=0),
+            "log_prior": np.concatenate(all_lprior, axis=0),
+            "log_likelihood": np.concatenate(all_llh, axis=0),
+            "temperatures": self.temperatures,
+            "acceptance": {
+                "attempted_mutate": np.asarray(state.att_mut),
+                "accepted_mutate": np.asarray(state.acc_mut),
+                "attempted_exchange": np.asarray(state.att_exc),
+                "accepted_exchange": np.asarray(state.acc_exc),
+            },
+            "evaluations": self.total_evaluations,
+            "elapsed_seconds": elapsed,
+            "evals_per_second": evals_per_sec,
+            "adaptation_records": adaptation_records,
+        }
+
+    def _log_statistics(self, state: PTState):
+        att_m = np.asarray(state.att_mut, dtype=np.float64)
+        acc_m = np.asarray(state.acc_mut, dtype=np.float64)
+        att_e = np.asarray(state.att_exc, dtype=np.float64)
+        acc_e = np.asarray(state.acc_exc, dtype=np.float64)
+        logger.info("Acceptance statistics:")
+        logger.info("Temperature | Mutate (all) | Exchange (all)")
+        for c in range(self.num_chains):
+            logger.info(
+                "%11.7f | %12.5f | %14.5f",
+                self.temperatures[c],
+                acc_m[c] / max(att_m[c], 1.0),
+                acc_e[c] / max(att_e[c], 1.0),
+            )
