@@ -1,0 +1,158 @@
+"""bcminf-equivalent command-line tool.
+
+TPU-native re-implementation of the reference inference CLI
+(reference: src/bcminf/main.cpp). `run` loads prior.xml/likelihood.xml +
+config.txt, runs the PT sampler and writes output.nc (+ log.txt,
+sampler_adaptation.nc); `--predict` re-evaluates the likelihood over a
+previous run's stored samples and writes prediction.nc
+(reference: src/bcminf/main.cpp:142-278).
+
+Usage:
+    python -m bcm3_tpu.cli -c config.txt
+    python -m bcm3_tpu.cli -c config.txt --predict
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+from bcm3_tpu import __version__
+
+
+def _setup_logging(output_path: str):
+    os.makedirs(output_path, exist_ok=True)
+    handlers = [
+        logging.StreamHandler(),
+        logging.FileHandler(os.path.join(output_path, "log.txt"), mode="w"),
+    ]
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+
+
+def run(opts) -> int:
+    import h5py
+    import jax
+
+    from bcm3_tpu.io.bundler import write_adaptation_dump
+    from bcm3_tpu.io.config import pt_config_from_options
+    from bcm3_tpu.io.output import SampleHandlerHDF5
+    from bcm3_tpu.likelihoods import create_likelihood
+    from bcm3_tpu.model.prior import Prior
+    from bcm3_tpu.model.variables import VariableSet
+    from bcm3_tpu.sampler.pt import SamplerPT
+
+    output_path = opts["output.folder"]
+    _setup_logging(output_path)
+    log = logging.getLogger("bcminf")
+    log.info("bcm3-tpu inference tool - version %s", __version__)
+    log.info("JAX devices: %s", jax.devices())
+
+    varset = VariableSet.from_xml(opts["prior"])
+    prior = Prior.from_xml(opts["prior"], varset)
+    likelihood = create_likelihood(opts["likelihood"], varset)
+    likelihood.learning_rate = float(opts.get("learning_rate", "1.0"))
+
+    cfg = pt_config_from_options(opts)
+    sampler = SamplerPT(prior, likelihood, cfg)
+
+    handler = SampleHandlerHDF5(
+        os.path.join(output_path, "output.nc"),
+        cfg.num_samples,
+        varset.names,
+        varset.transforms,
+        sampler.temperatures,
+    )
+    sampler.sample_handlers.append(handler)
+
+    t0 = time.time()
+    sampler.run()
+    handler.close()
+    log.info("Total run time: %.2fs", time.time() - t0)
+
+    if cfg.output_proposal_adaptation:
+        fn = os.path.join(output_path, "sampler_adaptation.nc")
+        if os.path.exists(fn):
+            os.remove(fn)
+        for iteration, record, history in sampler.adaptation_dumps:
+            write_adaptation_dump(fn, iteration, record, history)
+        log.info("Wrote %s", fn)
+    return 0
+
+
+def predict(opts) -> int:
+    """Re-evaluate the likelihood over stored samples
+    (reference: src/bcminf/main.cpp:142-278): for each temperature, every
+    (skip_n+1)-th sample in the second half of the chain."""
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from bcm3_tpu.io.output import NC_FILL_DOUBLE, load_results
+    from bcm3_tpu.likelihoods import create_likelihood
+    from bcm3_tpu.model.prior import Prior
+    from bcm3_tpu.model.variables import VariableSet
+
+    output_path = opts["output.folder"]
+    _setup_logging(output_path)
+    log = logging.getLogger("bcminf")
+
+    varset = VariableSet.from_xml(opts["prior"])
+    likelihood = create_likelihood(opts["likelihood"], varset)
+    likelihood.learning_rate = float(opts.get("learning_rate", "1.0"))
+
+    res = load_results(os.path.join(output_path, opts["predict.input"]))
+    samples = res["samples"]  # (S, C, D)
+    S, C, D = samples.shape
+    skip_n = int(opts.get("predict.skip_n", "0"))
+    use_ix = np.arange(S // 2, S, skip_n + 1)
+
+    spec_t = opts.get("predict.specific_temperature", "")
+    temp_ix = range(C) if spec_t in ("", None) else [int(spec_t)]
+
+    log_prob = jax.jit(jax.vmap(likelihood.log_prob))
+    pred = np.full((S, C), NC_FILL_DOUBLE)
+    t0 = time.time()
+    n_eval = 0
+    for ti in temp_ix:
+        xs = jnp.asarray(samples[use_ix, ti, :])
+        vals = np.asarray(log_prob(xs))
+        pred[use_ix, ti] = vals * likelihood.learning_rate
+        n_eval += len(use_ix)
+    elapsed = time.time() - t0
+    log.info(
+        "Prediction: %d evaluations in %.3fs (%.1f evals/s)",
+        n_eval,
+        elapsed,
+        n_eval / max(elapsed, 1e-9),
+    )
+
+    out_fn = os.path.join(output_path, opts["predict.output"])
+    with h5py.File(out_fn, "w") as f:
+        g = f.create_group("predictions")
+        g.create_dataset("log_likelihood", data=pred, fillvalue=NC_FILL_DOUBLE)
+        g.create_dataset("temperature", data=res["temperatures"])
+    log.info("Wrote %s", out_fn)
+    return 0
+
+
+def main(argv=None) -> int:
+    from bcm3_tpu.io.config import build_arg_parser, options_from_args
+
+    args = build_arg_parser().parse_args(argv)
+    opts = options_from_args(args)
+    if args.predict:
+        return predict(opts)
+    return run(opts)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,128 @@
+"""HDF5 sample store, layout-compatible with the reference output files.
+
+The reference writes NetCDF-4 (= HDF5) files consumed by the R analysis
+layer through hdf5r (reference: src/sampler/SampleHandlerNetCDF.cpp,
+R/load.r:4-61). This writer produces the same group/dataset layout with
+h5py so `bcm3.load.results` keeps working:
+
+    samples/sample_ix          uint32 (S,)
+    samples/variable           str    (D,)
+    samples/temperature        f8     (C,)
+    samples/variable_transform uint32 (D,)
+    samples/variable_values    f8     (S, C, D)   fill = NC_FILL_DOUBLE
+    samples/log_prior          f8     (S, C)
+    samples/log_likelihood     f8     (S, C)
+    samples/weights            f8     (S, C)
+
+(hdf5r presents C-order (S, C, D) to R as [var, temp, sample], which is
+exactly what R/load.r indexes.)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import h5py
+import numpy as np
+
+# NetCDF default fill value for double (NC_FILL_DOUBLE); R replaces it by NA
+NC_FILL_DOUBLE = 9.9692099683868690e36
+
+
+class SampleHandlerHDF5:
+    """Streaming sample sink (reference: SampleHandlerNetCDF.cpp)."""
+
+    def __init__(
+        self,
+        filename: str,
+        sample_count: int,
+        variable_names: Sequence[str],
+        variable_transforms: Sequence[int],
+        temperatures: np.ndarray,
+        sync_every: int = 10,
+    ):
+        self.filename = filename
+        self.sample_count = sample_count
+        self.sample_ix = 0
+        self.sync_every = sync_every
+
+        D = len(variable_names)
+        C = len(temperatures)
+        f = h5py.File(filename, "w")
+        g = f.create_group("samples")
+        g.create_dataset(
+            "sample_ix", data=np.arange(1, sample_count + 1, dtype=np.uint32)
+        )
+        g.create_dataset(
+            "variable",
+            data=np.array(list(variable_names), dtype=h5py.string_dtype()),
+        )
+        g.create_dataset("temperature", data=np.asarray(temperatures, dtype=np.float64))
+        g.create_dataset(
+            "variable_transform", data=np.asarray(variable_transforms, dtype=np.uint32)
+        )
+        g.create_dataset(
+            "variable_values",
+            shape=(sample_count, C, D),
+            dtype=np.float64,
+            fillvalue=NC_FILL_DOUBLE,
+        )
+        g.create_dataset(
+            "log_prior", shape=(sample_count, C), dtype=np.float64,
+            fillvalue=NC_FILL_DOUBLE,
+        )
+        g.create_dataset(
+            "log_likelihood", shape=(sample_count, C), dtype=np.float64,
+            fillvalue=NC_FILL_DOUBLE,
+        )
+        g.create_dataset(
+            "weights", shape=(sample_count, C), dtype=np.float64,
+            fillvalue=NC_FILL_DOUBLE,
+        )
+        self._file = f
+        self._g = g
+
+    def receive_samples(self, xs, lprior, llh, temperatures, weights=None):
+        """Append a batch: xs (S, C, D), lprior/llh (S, C)."""
+        S = xs.shape[0]
+        i0, i1 = self.sample_ix, self.sample_ix + S
+        self._g["variable_values"][i0:i1] = xs
+        self._g["log_prior"][i0:i1] = lprior
+        self._g["log_likelihood"][i0:i1] = llh
+        self._g["weights"][i0:i1] = (
+            np.ones_like(lprior) if weights is None else weights
+        )
+        self.sample_ix = i1
+        if (i1 // self.sync_every) != (i0 // self.sync_every):
+            self._file.flush()
+
+    def close(self):
+        self._file.flush()
+        self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def load_results(filename: str):
+    """Read an output file back (python-side equivalent of R/load.r)."""
+    with h5py.File(filename, "r") as f:
+        g = f["samples"]
+        out = {
+            "samples": g["variable_values"][:],
+            "log_prior": g["log_prior"][:],
+            "log_likelihood": g["log_likelihood"][:],
+            "weights": g["weights"][:],
+            "temperatures": g["temperature"][:],
+            "variables": [
+                v.decode() if isinstance(v, bytes) else str(v) for v in g["variable"][:]
+            ],
+            "variable_transform": g["variable_transform"][:],
+        }
+    for k in ("samples", "log_prior", "log_likelihood", "weights"):
+        arr = out[k]
+        arr[arr == NC_FILL_DOUBLE] = np.nan
+    return out

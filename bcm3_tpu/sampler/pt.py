@@ -218,6 +218,19 @@ class SamplerPT:
 
         self.total_evaluations = 0
         self._segment_fns = {}
+        # adaptation dumps for sampler_adaptation.nc: list of
+        # (iteration, [(block, gmm-of-fixed-T-chain), ...], history or None)
+        self.adaptation_iteration = 0
+        self.adaptation_dumps = []
+        if config.output_proposal_adaptation:
+            self.adaptation_dumps.append(
+                (
+                    0,
+                    [(b, self._fallback_gmm(b)) for b in self.blocks],
+                    None,
+                )
+            )
+        self.adaptation_iteration = 1
 
     # ------------------------------------------------------------------
     # Proposal construction
@@ -665,7 +678,7 @@ class SamplerPT:
                     if gmm is None:
                         gmm = self._fallback_gmm(block)
                 gmms.append(gmm)
-            adaptation_record.append((block, gmms))
+            adaptation_record.append((block, gmms[-1]))
             new_proposals.append(
                 prop_mod.build_block_proposal(
                     gmms,
@@ -677,6 +690,12 @@ class SamplerPT:
                 )
             )
         self.proposals = new_proposals
+
+        if self.config.output_proposal_adaptation:
+            self.adaptation_dumps.append(
+                (self.adaptation_iteration, adaptation_record, hist[-1])
+            )
+        self.adaptation_iteration += 1
 
         # reset history (reference: SamplerPTChain.cpp:170-171)
         state = dataclasses.replace(

@@ -1,0 +1,119 @@
+"""CLI + output-file tests: config.txt in, R-schema output.nc out."""
+
+import os
+import shutil
+
+import h5py
+import numpy as np
+import pytest
+
+from bcm3_tpu.io.config import load_options, pt_config_from_options
+from bcm3_tpu.io.output import NC_FILL_DOUBLE, load_results
+
+REF = "/root/reference/examples"
+
+
+def test_load_reference_config():
+    opts = load_options(os.path.join(REF, "banana", "config.txt"))
+    cfg = pt_config_from_options(opts)
+    assert cfg.num_samples == 8000
+    assert cfg.use_every_nth == 5
+    assert cfg.num_chains == 6
+    assert cfg.swapping_scheme == "deterministic_even_odd"
+    assert cfg.adapt_proposal_times == 1
+    assert cfg.adapt_proposal_samples == 2000
+    assert cfg.temperature_schedule_power == 3.0
+    assert cfg.output_proposal_adaptation is True
+    assert opts["output.folder"] == "output_t6_n5_e1"
+
+
+def test_cli_run_and_predict(tmp_path):
+    from bcm3_tpu import cli
+
+    # small run off the reference banana example
+    cfg_file = tmp_path / "config.txt"
+    cfg_file.write_text(
+        f"""[sampler]
+num_samples=60
+use_every_nth=2
+rngseed=77
+
+[ptmhsampler]
+num_chains=4
+adapt_proposal_samples=30
+adapt_proposal_times=1
+output_proposal_adaptation=true
+
+[output]
+folder={tmp_path}/out
+"""
+    )
+    rc = cli.main(
+        [
+            "-c",
+            str(cfg_file),
+            "--prior",
+            os.path.join(REF, "banana", "prior.xml"),
+            "--likelihood",
+            os.path.join(REF, "banana", "likelihood.xml"),
+        ]
+    )
+    assert rc == 0
+
+    out_nc = tmp_path / "out" / "output.nc"
+    assert out_nc.exists()
+
+    # schema check: exactly what R/load.r reads
+    with h5py.File(out_nc, "r") as f:
+        g = f["samples"]
+        assert g["variable_values"].shape == (60, 4, 2)
+        assert g["log_prior"].shape == (60, 4)
+        assert g["log_likelihood"].shape == (60, 4)
+        assert g["weights"].shape == (60, 4)
+        assert list(g["temperature"][:]) == sorted(g["temperature"][:])
+        names = [v.decode() for v in g["variable"][:]]
+        assert names == ["x1", "x2"]
+        assert g["variable_values"].fillvalue == NC_FILL_DOUBLE
+        # fully written: no fill values left
+        assert not np.any(g["variable_values"][:] == NC_FILL_DOUBLE)
+
+    res = load_results(str(out_nc))
+    assert np.isfinite(res["samples"]).all()
+    # power posterior identity: lposterior = lprior + llh finite at T=1
+    assert np.isfinite(res["log_prior"][:, -1] + res["log_likelihood"][:, -1]).all()
+
+    # adaptation dump exists with the R-consumed layout
+    adapt_nc = tmp_path / "out" / "sampler_adaptation.nc"
+    assert adapt_nc.exists()
+    with h5py.File(adapt_nc, "r") as f:
+        assert "adapt0" in f and "adapt1" in f
+        b1 = f["adapt1"]["block1"]
+        assert "gmm_weights" in b1 and "variable_indices" in b1
+        assert "cluster0_mean" in b1 and "cluster0_covariance" in b1
+        assert "history" in b1
+
+    # predict mode over the stored samples
+    rc = cli.main(
+        [
+            "-c",
+            str(cfg_file),
+            "--prior",
+            os.path.join(REF, "banana", "prior.xml"),
+            "--likelihood",
+            os.path.join(REF, "banana", "likelihood.xml"),
+            "--predict",
+        ]
+    )
+    assert rc == 0
+    pred_nc = tmp_path / "out" / "prediction.nc"
+    with h5py.File(pred_nc, "r") as f:
+        pred = f["predictions"]["log_likelihood"][:]
+        assert pred.shape == (60, 4)
+        # second half evaluated, first half left as fill
+        assert np.all(pred[:30] == NC_FILL_DOUBLE)
+        evaluated = pred[30:, -1]
+        assert np.all(evaluated != NC_FILL_DOUBLE)
+    # predictions must equal the stored log-likelihoods at T=1
+    np.testing.assert_allclose(
+        evaluated, res["log_likelihood"][30:, -1], rtol=1e-9
+    )
