@@ -30,6 +30,7 @@ class Likelihood:
     log_prob: Callable[[Any], Any]
     learning_rate: float = 1.0
     attrs: Dict[str, str] = field(default_factory=dict)
+    model: Any = None  # backing model object (e.g. PopPKLikelihood)
 
 
 def parse_vector(s: str) -> np.ndarray:
@@ -149,3 +150,13 @@ def _truncated_t(varset: VariableSet, attrs) -> Likelihood:
 @register_likelihood("dummy")
 def _dummy(varset: VariableSet, attrs) -> Likelihood:
     return Likelihood("dummy", analytic.make_dummy(), attrs=attrs)
+
+
+@register_likelihood("pop_pk_trajectory")
+def _pop_pk(varset: VariableSet, attrs) -> Likelihood:
+    from bcm3_tpu.likelihoods.poppk import create_poppk_likelihood
+
+    pk = create_poppk_likelihood(varset, attrs)
+    lik = Likelihood("pop_pk_trajectory", pk.log_prob, attrs=attrs)
+    lik.model = pk  # expose trajectories for predict/R-bridge equivalents
+    return lik

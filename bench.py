@@ -1,53 +1,72 @@
-"""Benchmark: PT-MCMC sampling throughput on the banana workload.
+"""Benchmark: PT-MCMC likelihood-evaluation throughput on the PopPK workload.
+
+The headline metric from BASELINE.json: log-prob evals/sec on the PopPK
+population-pharmacokinetics ODE likelihood (the reference's primary
+workload, LikelihoodPopPKTrajectory). One evaluation = simulating the full
+patient population's dosing-event compartment trajectories and scoring all
+observations; the sampler batches one evaluation per chain per PT step.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-vs_baseline compares against the measured CPU BCM3 reference throughput if
-a measurement file (baseline_cpu.json, produced by tools/measure_baseline.py)
-is present; the reference publishes no benchmark numbers (see BASELINE.md).
+vs_baseline compares against measured CPU BCM3 throughput if a measurement
+file (baseline_cpu.json, from tools/measure_baseline.py) is present; the
+reference publishes no benchmark numbers (see BASELINE.md).
 """
 
 import json
 import os
 import sys
+import tempfile
 import time
 
+NUM_PATIENTS = 16
+NUM_TIMEPOINTS = 24
+NUM_CHAINS = 8
 
-def main():
-    import jax
 
+def build_sampler(num_samples, adapt_times, seed):
     from bcm3_tpu.likelihoods import create_likelihood
+    from bcm3_tpu.likelihoods.poppk_synth import (
+        synthesize_trial,
+        write_poppk_likelihood_xml,
+        write_poppk_prior_xml,
+    )
     from bcm3_tpu.model.prior import Prior
     from bcm3_tpu.model.variables import VariableSet
     from bcm3_tpu.sampler import PTConfig, SamplerPT
 
-    ref = "/root/reference/examples/banana"
-    varset = VariableSet.from_xml(f"{ref}/prior.xml")
-    prior = Prior.from_xml(f"{ref}/prior.xml", varset)
-    lik = create_likelihood(f"{ref}/likelihood.xml", varset)
-
-    # banana example configuration (examples/banana/config.txt): 6 chains,
-    # GMM proposal, deterministic even/odd swaps, thinning 5
-    cfg = PTConfig(
-        num_samples=2000,
-        use_every_nth=5,
-        num_chains=6,
-        adapt_proposal_samples=1000,
-        adapt_proposal_times=1,
-        max_history_size=5000,
-        adapt_proposal_max_history_samples=5000,
-        swapping_scheme="deterministic_even_odd",
-        seed=2024,
+    d = tempfile.mkdtemp(prefix="bcm3_bench_")
+    trial, truth = synthesize_trial(
+        num_patients=NUM_PATIENTS, num_timepoints=NUM_TIMEPOINTS, seed=42
     )
+    pkdata = os.path.join(d, "pkdata.nc")
+    trial.save(pkdata, "TRIAL1", "lapatinib")
+    prior_xml = os.path.join(d, "prior.xml")
+    lik_xml = os.path.join(d, "likelihood.xml")
+    write_poppk_prior_xml(prior_xml, NUM_PATIENTS, "one")
+    write_poppk_likelihood_xml(lik_xml, pkdata, "TRIAL1", "lapatinib", "one")
 
-    # warmup run to take compilation out of the measurement
-    warm = SamplerPT(prior, lik, PTConfig(
-        num_samples=20, use_every_nth=5, num_chains=6,
-        adapt_proposal_samples=0, adapt_proposal_times=0, seed=1,
-    ))
-    warm.run()
+    varset = VariableSet.from_xml(prior_xml)
+    prior = Prior.from_xml(prior_xml, varset)
+    lik = create_likelihood(lik_xml, varset)
+    cfg = PTConfig(
+        num_samples=num_samples,
+        use_every_nth=2,
+        num_chains=NUM_CHAINS,
+        adapt_proposal_samples=num_samples // 2 if adapt_times else 0,
+        adapt_proposal_times=adapt_times,
+        max_history_size=2000,
+        swapping_scheme="deterministic_even_odd",
+        seed=seed,
+    )
+    return SamplerPT(prior, lik, cfg)
 
-    s = SamplerPT(prior, lik, cfg)
+
+def main():
+    # warmup run: compile everything
+    build_sampler(10, 0, 1).run()
+
+    s = build_sampler(1500, 1, 2024)
     t0 = time.time()
     res = s.run()
     elapsed = time.time() - t0
@@ -58,14 +77,14 @@ def main():
     if os.path.exists(baseline_file):
         with open(baseline_file) as f:
             base = json.load(f)
-        ref_v = base.get("banana_evals_per_sec")
+        ref_v = base.get("poppk_evals_per_sec")
         if ref_v:
             vs = evals_per_sec / ref_v
 
     print(
         json.dumps(
             {
-                "metric": "pt_mcmc_likelihood_evals_per_sec_banana",
+                "metric": "poppk_pt_mcmc_llh_evals_per_sec",
                 "value": round(evals_per_sec, 1),
                 "unit": "evals/s",
                 "vs_baseline": round(vs, 3) if vs else None,
