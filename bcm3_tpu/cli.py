@@ -66,10 +66,10 @@ def run(opts) -> int:
 
     handler = SampleHandlerHDF5(
         os.path.join(output_path, "output.nc"),
-        cfg.num_samples,
+        cfg.num_samples * sampler.num_ensembles,
         varset.names,
         varset.transforms,
-        sampler.temperatures,
+        sampler.ladder,
     )
     sampler.sample_handlers.append(handler)
 

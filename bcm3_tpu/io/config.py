@@ -53,6 +53,8 @@ _DEFAULTS = {
     "ptmhsampler.output_proposal_adaptation": "false",
     "ptmhsampler.proposal_t_dof": "0.0",
     "ptmhsampler.initial_position_tries": "100",
+    # TPU-native extension: independent PT replicas batched on device
+    "ptmhsampler.num_ensembles": "1",
 }
 
 
@@ -112,6 +114,7 @@ def pt_config_from_options(opts: Dict[str, str]) -> PTConfig:
         ),
         proposal_t_dof=float(g("ptmhsampler.proposal_t_dof")),
         initial_position_tries=int(g("ptmhsampler.initial_position_tries")),
+        num_ensembles=int(g("ptmhsampler.num_ensembles")),
     )
 
 

@@ -89,6 +89,12 @@ class PTConfig:
     proposal_t_dof: float = 0.0
     initial_position_tries: int = 100
     dtype: Any = None  # defaults to float64 under x64, else float32
+    # TPU-native extension (no reference equivalent): number of independent
+    # PT replicas advanced in the same batched device computation. Each
+    # replica owns a full temperature ladder and exchanges only internally;
+    # emitted samples from all replicas are pooled per temperature. This is
+    # the lever that fills the chip when the ladder alone is too small.
+    num_ensembles: int = 1
 
     def resolved_dtype(self):
         if self.dtype is not None:
@@ -156,11 +162,16 @@ class SamplerPT:
         self.dtype = config.resolved_dtype()
 
         C = config.num_chains
-        self.num_chains = C
+        E = max(1, config.num_ensembles)
+        self.ladder_size = C
+        self.num_ensembles = E
+        # total chain population advanced on device: E replicas x C temperatures
+        self.num_chains = E * C
         self.num_variables = prior.num_variables
-        self.temperatures = temperature_ladder(
+        self.ladder = temperature_ladder(
             C, config.temperature_schedule_power, config.temperature_schedule_max
         )
+        self.temperatures = np.tile(self.ladder, E)
 
         ptype = config.proposal_type
         if ptype == "parametric_mixture":
@@ -422,28 +433,37 @@ class SamplerPT:
     def _exchange(self, state: PTState, key):
         """Even/odd replica exchange as a masked chain-axis permutation
         (reference: SamplerPT.cpp DoExchangeMove:277-306,
-        SamplerPTChain.cpp ExchangeMove:328-381)."""
-        C = self.num_chains
+        SamplerPTChain.cpp ExchangeMove:328-381). With ensembles, pairs form
+        only within each replica's own temperature ladder."""
+        C = self.ladder_size
+        E = self.num_ensembles
+        total = self.num_chains
         temps = jnp.asarray(self.temperatures, dtype=self.dtype)
-        idx = jnp.arange(C)
+        idx = jnp.arange(total)
+        local = idx % C
+        base = idx - local
 
         # previous_swap_even toggling (reference: SamplerPT.cpp:283-291)
         start = jnp.where(state.swap_parity == 1, 1, 0)
         new_parity = 1 - state.swap_parity
 
         if self.config.swapping_scheme == "stochastic_random":
-            ci = jax.random.randint(jax.random.fold_in(key, 7), (), 0, max(C - 1, 1))
-            is_leader = idx == ci
+            # one random adjacent pair per ensemble (reference picks one pair
+            # for its single ensemble, SamplerPT.cpp:300-305)
+            ci = jax.random.randint(
+                jax.random.fold_in(key, 7), (E,), 0, max(C - 1, 1)
+            )
+            is_leader = local == jnp.repeat(ci, C)
         else:
-            rel = idx - start
+            rel = local - start
             is_leader = (rel >= 0) & (rel % 2 == 0)
             if C % 2 == 1:
-                # odd chain counts: the wrap-around pair (C-1, 0) is handled
+                # odd ladder size: the wrap-around pair (C-1, 0) is handled
                 # by the reference sequentially after (0,1); we drop the
                 # wrap-around leader instead (the pair re-forms next parity)
-                is_leader = is_leader & (idx != C - 1)
+                is_leader = is_leader & (local != C - 1)
 
-        partner = (idx + 1) % C
+        partner = base + (local + 1) % C
 
         lprior_p = state.lprior[partner]
         llh_p = state.llh[partner]
@@ -460,11 +480,15 @@ class SamplerPT:
         cur_lpp = self._lpp(state.lprior, state.llh, temps)
         log_tp = (prop_lpp_self + prop_lpp_partner) - (cur_lpp + cur_lpp[partner])
 
-        u = jax.random.uniform(key, (C,), dtype=self.dtype)
+        u = jax.random.uniform(key, (total,), dtype=self.dtype)
         swap_leader = is_leader & (jnp.log(u) < log_tp)
-        swap_follower = jnp.roll(swap_leader, 1)
+
+        def roll_within(mask):
+            return jnp.roll(mask.reshape(E, C), 1, axis=1).reshape(total)
+
+        swap_follower = roll_within(swap_leader)
         perm = jnp.where(
-            swap_leader, partner, jnp.where(swap_follower, (idx - 1) % C, idx)
+            swap_leader, partner, jnp.where(swap_follower, base + (local - 1) % C, idx)
         )
 
         x = state.x[perm]
@@ -485,16 +509,12 @@ class SamplerPT:
         )
         # both members of every pair record history (T != 0 chains);
         # (reference: SamplerPTChain.cpp:370-376). With the stochastic_random
-        # scheme only the chosen pair participates.
-        if self.config.swapping_scheme == "stochastic_random":
-            participated = is_leader | jnp.roll(is_leader, 1)
+        # scheme only the chosen pairs participate.
+        if self.config.swapping_scheme == "stochastic_random" or C % 2 == 1:
+            participated = is_leader | roll_within(is_leader)
             state = self._history_add(state, x, mask=participated)
         else:
-            if C % 2 == 1:
-                participated = is_leader | jnp.roll(is_leader, 1)
-                state = self._history_add(state, x, mask=participated)
-            else:
-                state = self._history_add(state, x)
+            state = self._history_add(state, x)
         return state
 
     # ------------------------------------------------------------------
@@ -503,7 +523,7 @@ class SamplerPT:
     def _iteration(self, carry, key):
         state, proposals = carry
         scheme = self.config.swapping_scheme
-        C = self.num_chains
+        C = self.ladder_size
 
         if C > 1 and scheme in ("stochastic_random", "stochastic_even_odd"):
             k_choice, k_move = jax.random.split(key)
@@ -644,26 +664,36 @@ class SamplerPT:
         the history.
         """
         hist, count = self._history_matrices(state)
-        logger.info("Proposal adaptation with %d history samples", count)
+        logger.info("Proposal adaptation with %d history samples per chain", count)
+        C, E = self.ladder_size, self.num_ensembles
 
-        # blocking from the fixed-temperature chain's history
+        # pool history across ensembles per temperature: every replica of
+        # ladder position i targets the same tempered distribution, so the
+        # pooled history is a larger sample from it (TPU-native design; the
+        # reference has one ensemble and fits per chain)
+        def ladder_history(i):
+            return hist[i::C].reshape(E * count, self.num_variables)
+
+        # blocking from the fixed-temperature pooled history
         # (design deviation from the reference, which blocks per chain: a
         # single block structure is required to batch chains on device)
         if self.config.blocking_strategy in ("Turek", "clustered_autoblock"):
             self.blocks = blocking_mod.get_blocks(
-                "Turek", self.num_variables, hist[-1] if count > 2 else None
+                "Turek",
+                self.num_variables,
+                ladder_history(C - 1) if count > 2 else None,
             )
         select_adjusted = self.proposal_type == "gaussian_mixture_adjustedAIC"
 
         new_proposals = []
         adaptation_record = []
         for block in self.blocks:
-            gmms = []
-            for c in range(self.num_chains):
-                if self.temperatures[c] == 0.0:
-                    gmms.append(self._fallback_gmm(block))
+            ladder_gmms = []
+            for i in range(C):
+                if self.ladder[i] == 0.0:
+                    ladder_gmms.append(self._fallback_gmm(block))
                     continue
-                h = self._downsample_history(hist[c][:, block])
+                h = self._downsample_history(ladder_history(i)[:, block])
                 if self.proposal_type == "global_covariance":
                     gmm = self._fit_global_covariance(h, block)
                 else:
@@ -677,8 +707,9 @@ class SamplerPT:
                         )
                     if gmm is None:
                         gmm = self._fallback_gmm(block)
-                gmms.append(gmm)
-            adaptation_record.append((block, gmms[-1]))
+                ladder_gmms.append(gmm)
+            gmms = ladder_gmms * E  # every ensemble gets the pooled fit
+            adaptation_record.append((block, ladder_gmms[-1]))
             new_proposals.append(
                 prop_mod.build_block_proposal(
                     gmms,
@@ -693,7 +724,7 @@ class SamplerPT:
 
         if self.config.output_proposal_adaptation:
             self.adaptation_dumps.append(
-                (self.adaptation_iteration, adaptation_record, hist[-1])
+                (self.adaptation_iteration, adaptation_record, ladder_history(C - 1))
             )
         self.adaptation_iteration += 1
 
@@ -765,15 +796,18 @@ class SamplerPT:
             state, proposals, ys = self._segment_fns[seg_key](state, proposals)
 
             xs, lps, lls = ys
-            all_x.append(np.asarray(xs))
-            all_lprior.append(np.asarray(lps))
-            all_llh.append(np.asarray(lls))
+            xs, lps, lls = (
+                self._pool_ensembles(np.asarray(xs)),
+                self._pool_ensembles(np.asarray(lps)),
+                self._pool_ensembles(np.asarray(lls)),
+            )
+            all_x.append(xs)
+            all_lprior.append(lps)
+            all_llh.append(lls)
             emitted = stop
 
             for handler in self.sample_handlers:
-                handler.receive_samples(
-                    np.asarray(xs), np.asarray(lps), np.asarray(lls), self.temperatures
-                )
+                handler.receive_samples(xs, lps, lls, self.ladder)
 
             if (
                 cfg.adapt_proposal_samples > 0
@@ -803,7 +837,7 @@ class SamplerPT:
             "samples": np.concatenate(all_x, axis=0),
             "log_prior": np.concatenate(all_lprior, axis=0),
             "log_likelihood": np.concatenate(all_llh, axis=0),
-            "temperatures": self.temperatures,
+            "temperatures": self.ladder,
             "acceptance": {
                 "attempted_mutate": np.asarray(state.att_mut),
                 "accepted_mutate": np.asarray(state.acc_mut),
@@ -816,17 +850,31 @@ class SamplerPT:
             "adaptation_records": adaptation_records,
         }
 
+    def _pool_ensembles(self, arr: np.ndarray) -> np.ndarray:
+        """(S, E*C, ...) -> (S*E, C, ...): pool replica samples per
+        temperature, sample-major so every emitted step's replicas are
+        adjacent in the output store."""
+        E, C = self.num_ensembles, self.ladder_size
+        if E == 1:
+            return arr
+        S = arr.shape[0]
+        rest = arr.shape[2:]
+        return arr.reshape(S, E, C, *rest).reshape(S * E, C, *rest)
+
     def _log_statistics(self, state: PTState):
-        att_m = np.asarray(state.att_mut, dtype=np.float64)
-        acc_m = np.asarray(state.acc_mut, dtype=np.float64)
-        att_e = np.asarray(state.att_exc, dtype=np.float64)
-        acc_e = np.asarray(state.acc_exc, dtype=np.float64)
+        """Acceptance table aggregated over ensembles per temperature
+        (reference: SamplerPTChain.cpp LogStatistics:383-389)."""
+        C = self.ladder_size
+        att_m = np.asarray(state.att_mut, dtype=np.float64).reshape(-1, C).sum(0)
+        acc_m = np.asarray(state.acc_mut, dtype=np.float64).reshape(-1, C).sum(0)
+        att_e = np.asarray(state.att_exc, dtype=np.float64).reshape(-1, C).sum(0)
+        acc_e = np.asarray(state.acc_exc, dtype=np.float64).reshape(-1, C).sum(0)
         logger.info("Acceptance statistics:")
         logger.info("Temperature | Mutate (all) | Exchange (all)")
-        for c in range(self.num_chains):
+        for c in range(C):
             logger.info(
                 "%11.7f | %12.5f | %14.5f",
-                self.temperatures[c],
+                self.ladder[c],
                 acc_m[c] / max(att_m[c], 1.0),
                 acc_e[c] / max(att_e[c], 1.0),
             )

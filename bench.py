@@ -22,6 +22,8 @@ import time
 NUM_PATIENTS = 16
 NUM_TIMEPOINTS = 24
 NUM_CHAINS = 8
+# independent PT replicas batched on device — the TPU-native throughput lever
+NUM_ENSEMBLES = 1024
 
 
 def build_sampler(num_samples, adapt_times, seed):
@@ -53,6 +55,7 @@ def build_sampler(num_samples, adapt_times, seed):
         num_samples=num_samples,
         use_every_nth=2,
         num_chains=NUM_CHAINS,
+        num_ensembles=NUM_ENSEMBLES,
         adapt_proposal_samples=num_samples // 2 if adapt_times else 0,
         adapt_proposal_times=adapt_times,
         max_history_size=2000,
@@ -64,9 +67,9 @@ def build_sampler(num_samples, adapt_times, seed):
 
 def main():
     # warmup run: compile everything
-    build_sampler(10, 0, 1).run()
+    build_sampler(4, 0, 1).run()
 
-    s = build_sampler(1500, 1, 2024)
+    s = build_sampler(300, 1, 2024)
     t0 = time.time()
     res = s.run()
     elapsed = time.time() - t0

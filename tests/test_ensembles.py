@@ -1,0 +1,105 @@
+"""Ensemble-replication tests: E independent PT replicas in one batch."""
+
+import numpy as np
+import pytest
+
+from bcm3_tpu.likelihoods import create_likelihood
+from bcm3_tpu.model.prior import Prior
+from bcm3_tpu.model.variables import VariableSet
+from bcm3_tpu.sampler import PTConfig, SamplerPT
+
+REF = "/root/reference/examples"
+
+
+def _setup(example):
+    varset = VariableSet.from_xml(f"{REF}/{example}/prior.xml")
+    prior = Prior.from_xml(f"{REF}/{example}/prior.xml", varset)
+    lik = create_likelihood(f"{REF}/{example}/likelihood.xml", varset)
+    return prior, lik
+
+
+def test_ensemble_shapes_and_pooling():
+    prior, lik = _setup("banana")
+    cfg = PTConfig(
+        num_samples=40,
+        use_every_nth=2,
+        num_chains=4,
+        num_ensembles=3,
+        adapt_proposal_samples=20,
+        adapt_proposal_times=1,
+        seed=8,
+    )
+    s = SamplerPT(prior, lik, cfg)
+    assert s.num_chains == 12
+    assert len(s.temperatures) == 12
+    res = s.run()
+    # pooled output: (S*E, C, D)
+    assert res["samples"].shape == (120, 4, 2)
+    assert res["log_likelihood"].shape == (120, 4)
+    assert len(res["temperatures"]) == 4
+    assert np.isfinite(res["log_likelihood"][:, -1]).all()
+    # all T=0 replicas accept every prior draw
+    acc = res["acceptance"]
+    t0_idx = [0, 4, 8]
+    for i in t0_idx:
+        assert acc["accepted_mutate"][i] == acc["attempted_mutate"][i]
+
+
+def test_ensembles_are_independent():
+    """Replica T=1 chains must not be identical (independent RNG streams)."""
+    prior, lik = _setup("banana")
+    cfg = PTConfig(
+        num_samples=30,
+        use_every_nth=1,
+        num_chains=2,
+        num_ensembles=4,
+        adapt_proposal_samples=0,
+        adapt_proposal_times=0,
+        seed=21,
+    )
+    s = SamplerPT(prior, lik, cfg)
+    res = s.run()
+    x = res["samples"].reshape(30, 4, 2, 2)  # (S, E, C, D)
+    e0 = x[:, 0, 1, :]
+    e1 = x[:, 1, 1, :]
+    assert not np.allclose(e0, e1)
+
+
+@pytest.mark.slow
+def test_ensemble_posterior_matches_single():
+    """Pooled ensemble posterior must match the single-ensemble posterior."""
+    prior, lik = _setup("banana")
+    common = dict(
+        num_samples=1200,
+        use_every_nth=3,
+        num_chains=4,
+        adapt_proposal_samples=400,
+        adapt_proposal_times=1,
+        swapping_scheme="deterministic_even_odd",
+    )
+    res_e = SamplerPT(prior, lik, PTConfig(num_ensembles=6, seed=31, **common)).run()
+    x = res_e["samples"]
+    E = 6
+    # second half of each replica's chain: samples are (s, e)-ordered
+    S_total = x.shape[0]
+    keep = np.arange(S_total) >= S_total // 2
+    xs = x[keep, -1, :]
+    m = xs.mean(axis=0)
+    sd = xs.std(axis=0)
+    # exact moments by quadrature
+    g1 = np.linspace(-6, 4, 1200)
+    g2 = np.linspace(-6, 20, 2400)
+    X1, X2 = np.meshgrid(g1, g2, indexing="ij")
+    logp = -0.5 * (X1 / 2.0) ** 2 - 0.5 * (X2 - (4 * X1 + (1 - X1) ** 2)) ** 2
+    p = np.exp(logp - logp.max())
+    p /= p.sum()
+    m_exact = np.array([(p * X1).sum(), (p * X2).sum()])
+    sd_exact = np.array(
+        [
+            np.sqrt((p * (X1 - m_exact[0]) ** 2).sum()),
+            np.sqrt((p * (X2 - m_exact[1]) ** 2).sum()),
+        ]
+    )
+    # pooled ensembles give much tighter MC error than a single chain
+    assert np.all(np.abs(m - m_exact) < np.array([0.15, 0.45])), (m, m_exact)
+    assert np.all(np.abs(sd - sd_exact) / sd_exact < 0.10), (sd, sd_exact)
