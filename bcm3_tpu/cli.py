@@ -43,12 +43,11 @@ def run(opts) -> int:
     import jax
 
     from bcm3_tpu.io.bundler import write_adaptation_dump
-    from bcm3_tpu.io.config import pt_config_from_options
     from bcm3_tpu.io.output import SampleHandlerHDF5
     from bcm3_tpu.likelihoods import create_likelihood
     from bcm3_tpu.model.prior import Prior
     from bcm3_tpu.model.variables import VariableSet
-    from bcm3_tpu.sampler.pt import SamplerPT
+    from bcm3_tpu.sampler.factory import create_sampler
 
     output_path = opts["output.folder"]
     _setup_logging(output_path)
@@ -61,12 +60,11 @@ def run(opts) -> int:
     likelihood = create_likelihood(opts["likelihood"], varset)
     likelihood.learning_rate = float(opts.get("learning_rate", "1.0"))
 
-    cfg = pt_config_from_options(opts)
-    sampler = SamplerPT(prior, likelihood, cfg)
+    sampler = create_sampler(prior, likelihood, opts)
 
     handler = SampleHandlerHDF5(
         os.path.join(output_path, "output.nc"),
-        cfg.num_samples * sampler.num_ensembles,
+        sampler.expected_emitted_samples,
         varset.names,
         varset.transforms,
         sampler.ladder,
@@ -78,7 +76,7 @@ def run(opts) -> int:
     handler.close()
     log.info("Total run time: %.2fs", time.time() - t0)
 
-    if cfg.output_proposal_adaptation:
+    if getattr(sampler, "adaptation_dumps", None):
         fn = os.path.join(output_path, "sampler_adaptation.nc")
         if os.path.exists(fn):
             os.remove(fn)

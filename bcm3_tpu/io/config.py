@@ -55,6 +55,8 @@ _DEFAULTS = {
     "ptmhsampler.initial_position_tries": "100",
     # TPU-native extension: independent PT replicas batched on device
     "ptmhsampler.num_ensembles": "1",
+    # TPU-native extension: device batch size for the importance sampler
+    "issampler.batch_size": "1024",
 }
 
 

@@ -243,6 +243,11 @@ class SamplerPT:
             )
         self.adaptation_iteration = 1
 
+    @property
+    def expected_emitted_samples(self) -> int:
+        """Rows in the output store: per emitted step, one row per ensemble."""
+        return self.config.num_samples * self.num_ensembles
+
     # ------------------------------------------------------------------
     # Proposal construction
 
