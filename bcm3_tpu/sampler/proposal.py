@@ -70,7 +70,7 @@ def target_acceptance_rate(num_variables: int) -> float:
         "acc_ema",
         "selected",
     ],
-    meta_fields=["t_dof", "target_accept", "update_rule", "symmetric"],
+    meta_fields=["t_dof", "target_accept", "update_rule", "symmetric", "clustered"],
 )
 @dataclass
 class BlockProposal:
@@ -91,6 +91,10 @@ class BlockProposal:
     target_accept: float = 0.234
     update_rule: int = RULE_GMM
     symmetric: bool = False  # True for global_covariance (MH ratio 0)
+    # clustered_covariance mode: component = externally supplied cluster
+    # assignment instead of a responsibility draw
+    # (reference: ProposalClusteredCovariance.cpp:26-56)
+    clustered: bool = False
 
     @property
     def num_chains(self) -> int:
@@ -228,6 +232,51 @@ def mh_log_ratio(prop: BlockProposal, x_block, new_block):
     return rev - fwd
 
 
+def propose_clustered(prop: BlockProposal, x_block, cluster, lower, upper, key):
+    """Clustered-covariance draw, one chain slice: the component is the
+    cluster of the current (full) position instead of a responsibility draw
+    (reference: ProposalClusteredCovariance.cpp GetNewSample:26-56).
+    Returns (new_block, selected)."""
+    kz, kg = jax.random.split(key)
+    selected = jnp.clip(cluster, 0, prop.means.shape[0] - 1)
+
+    z = jax.random.normal(kz, x_block.shape, dtype=x_block.dtype)
+    step = prop.chols[selected] @ z
+
+    if prop.t_dof > 0.0:
+        # same Gamma(nu/2, scale=nu/2) mixing quirk as the mixture proposal
+        # (reference: ProposalClusteredCovariance.cpp:37-43)
+        w = jax.random.gamma(kg, 0.5 * prop.t_dof, dtype=x_block.dtype) * (
+            0.5 * prop.t_dof
+        )
+        t_scale = jax.lax.rsqrt(w)
+    else:
+        t_scale = jnp.asarray(1.0, dtype=x_block.dtype)
+
+    new_block = x_block + step * (t_scale * prop.scales[selected])
+    new_block = reflect_on_bounds(new_block, lower, upper)
+    return new_block, selected.astype(jnp.int32)
+
+
+def mh_log_ratio_clustered(prop: BlockProposal, x_block, new_block, cur_cluster, new_cluster):
+    """MH correction for cross-cluster moves, one chain slice (reference:
+    ProposalClusteredCovariance.cpp CalculateMHRatio:58-84): symmetric
+    within a cluster; across clusters the ratio of the two single-component
+    densities of the step, each including the -log(scale^2) factor."""
+    cc = jnp.clip(cur_cluster, 0, prop.means.shape[0] - 1)
+    nc = jnp.clip(new_cluster, 0, prop.means.shape[0] - 1)
+
+    def comp_logp(comp, v):
+        vv = v / prop.scales[comp]
+        s = solve_triangular(prop.chols[comp], vv[:, None], lower=True)[:, 0]
+        return -2.0 * jnp.log(prop.scales[comp]) + prop.log_c[comp] - 0.5 * jnp.sum(s * s)
+
+    diff = new_block - x_block
+    log_fwd = comp_logp(cc, diff)
+    log_bwd = comp_logp(nc, -diff)
+    return jnp.where(cc == nc, 0.0, log_bwd - log_fwd).astype(x_block.dtype)
+
+
 def notify_accepted(prop: BlockProposal, accepted) -> BlockProposal:
     """EMA update for the selected component, one chain slice (reference:
     ProposalGaussianMixture.cpp:89-99; base rule Proposal.cpp:214-222
@@ -277,6 +326,12 @@ def build_block_proposal(
 
     rule = RULE_BASE if proposal_type == "global_covariance" else RULE_GMM
     symmetric = proposal_type == "global_covariance"
+    clustered = proposal_type == "clustered_covariance"
+    if clustered and any(g.num_components != K for g in gmms):
+        raise ValueError(
+            "clustered proposals require component index == cluster index; "
+            "all chains must carry exactly num_clusters components"
+        )
     return BlockProposal(
         means=jnp.asarray(means, dtype=dtype),
         chols=jnp.asarray(chols, dtype=dtype),
@@ -289,4 +344,5 @@ def build_block_proposal(
         target_accept=ta,
         update_rule=rule,
         symmetric=symmetric,
+        clustered=clustered,
     )

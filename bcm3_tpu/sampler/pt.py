@@ -51,6 +51,7 @@ from bcm3_tpu.likelihoods import Likelihood
 from bcm3_tpu.model.prior import Prior
 from bcm3_tpu.sampler import blocking as blocking_mod
 from bcm3_tpu.sampler import proposal as prop_mod
+from bcm3_tpu.sampler import spectral as spectral_mod
 from bcm3_tpu.sampler.proposal import BlockProposal
 from bcm3_tpu.stats.gmm import GMM, fit_gmm_best_aic, fit_gmm
 
@@ -184,11 +185,14 @@ class SamplerPT:
             "clustered_covariance",
         ):
             raise ValueError(f"Unknown proposal type '{config.proposal_type}'")
-        if ptype == "clustered_covariance":
-            raise NotImplementedError(
-                "clustered_covariance proposals are not implemented yet"
-            )
         self.proposal_type = ptype
+        # spectral-clustering assigner for clustered proposals / blocking
+        # (reference: SamplerPTChain owns a SampleHistoryClustering per
+        # chain; here ONE clustering fit on the pooled fixed-temperature
+        # history is shared by all chains so assignment stays a single
+        # batched device computation — a documented batching deviation,
+        # like the shared block structure)
+        self._assigner = None
 
         # History sizing (reference: SamplerPT.cpp:115-128)
         expected = config.adapt_proposal_samples * config.use_every_nth
@@ -268,6 +272,14 @@ class SamplerPT:
         return gmm
 
     def _initial_proposals(self, blocks: List[np.ndarray]) -> List[BlockProposal]:
+        # before any history exists a clustered proposal degenerates to a
+        # single prior-variance Gaussian with no cluster structure
+        # (reference: ProposalClusteredCovariance.cpp InitializeImpl:154-183)
+        ptype = (
+            "gaussian_mixture"
+            if self.proposal_type == "clustered_covariance"
+            else self.proposal_type
+        )
         props = []
         for block in blocks:
             fallback = self._fallback_gmm(block)
@@ -277,7 +289,7 @@ class SamplerPT:
                 len(block),
                 self.dtype,
                 t_dof=self.config.proposal_t_dof,
-                proposal_type=self.proposal_type,
+                proposal_type=ptype,
             )
             props.append(prop)
         return props
@@ -331,7 +343,7 @@ class SamplerPT:
         )
         return dataclasses.replace(state, history=new_hist, hist_adds=n)
 
-    def _mutate(self, state: PTState, proposals, key):
+    def _mutate(self, state: PTState, proposals, key, assigner=None):
         """One mutate move for the whole chain population
         (reference: SamplerPTChain.cpp MutateMove:217-313)."""
         C, D = state.x.shape
@@ -371,9 +383,23 @@ class SamplerPT:
 
             # 2. propose new block positions
             x_block = x[:, block_idx]
-            new_block, selected = jax.vmap(
-                lambda p, xb, k: prop_mod.propose(p, xb, lower, upper, k)
-            )(prop, x_block, chain_keys_prop)
+            use_clustered = prop.clustered and assigner is not None
+            if use_clustered:
+                # component = spectral cluster of the current full position
+                # (reference: ProposalClusteredCovariance.cpp:26-35); the
+                # whole population assigns in one batched kernel evaluation
+                cur_cluster = spectral_mod.assign_batch(
+                    assigner, x.astype(jnp.float64)
+                )
+                new_block, selected = jax.vmap(
+                    lambda p, xb, cl, k: prop_mod.propose_clustered(
+                        p, xb, cl, lower, upper, k
+                    )
+                )(prop, x_block, cur_cluster, chain_keys_prop)
+            else:
+                new_block, selected = jax.vmap(
+                    lambda p, xb, k: prop_mod.propose(p, xb, lower, upper, k)
+                )(prop, x_block, chain_keys_prop)
 
             x_new = x.at[:, block_idx].set(new_block)
             # T=0 chains: direct prior draw replaces the whole vector, and
@@ -397,7 +423,15 @@ class SamplerPT:
 
             # 4. MH test (reference: SamplerPTChain.cpp TestSample:465-482)
             prop = dataclasses.replace(prop, selected=selected)
-            mh = jax.vmap(prop_mod.mh_log_ratio)(prop, x_block, new_block)
+            if use_clustered:
+                new_cluster = spectral_mod.assign_batch(
+                    assigner, x_new.astype(jnp.float64)
+                )
+                mh = jax.vmap(prop_mod.mh_log_ratio_clustered)(
+                    prop, x_block, new_block, cur_cluster, new_cluster
+                )
+            else:
+                mh = jax.vmap(prop_mod.mh_log_ratio)(prop, x_block, new_block)
             log_u = jnp.log(
                 jax.random.uniform(jax.random.fold_in(k_acc, 1), (C,), dtype=self.dtype)
             )
@@ -525,7 +559,7 @@ class SamplerPT:
     # ------------------------------------------------------------------
     # Iteration + segment
 
-    def _iteration(self, carry, key):
+    def _iteration(self, carry, key, assigner=None):
         state, proposals = carry
         scheme = self.config.swapping_scheme
         C = self.ladder_size
@@ -540,7 +574,7 @@ class SamplerPT:
 
             def do_mutate(args):
                 st, props = args
-                return self._mutate(st, props, k_move)
+                return self._mutate(st, props, k_move, assigner)
 
             state, proposals = jax.lax.cond(
                 u < self.config.exchange_probability,
@@ -553,30 +587,45 @@ class SamplerPT:
             state = self._exchange(state, k_exc)
             for ei in range(self.config.num_exploration_steps):
                 state, proposals = self._mutate(
-                    state, proposals, jax.random.fold_in(k_mut, ei)
+                    state, proposals, jax.random.fold_in(k_mut, ei), assigner
                 )
         else:
-            state, proposals = self._mutate(state, proposals, key)
+            state, proposals = self._mutate(state, proposals, key, assigner)
 
         return (state, proposals)
 
-    def _make_segment_fn(self, n_emit: int):
+    def _make_segment_fn(self, n_emit: int, with_assigner: bool = False):
         nth = self.config.use_every_nth
 
-        def emit_step(carry, _):
+        def emit_step(assigner, carry, _):
             state, proposals = carry
             for _i in range(nth):
                 key, new_key = jax.random.split(state.key)
                 state = dataclasses.replace(state, key=new_key)
-                state, proposals = self._iteration((state, proposals), key)
+                state, proposals = self._iteration(
+                    (state, proposals), key, assigner
+                )
             out = (state.x, state.lprior, state.llh)
             return (state, proposals), out
 
-        def run_segment(state, proposals):
-            (state, proposals), ys = jax.lax.scan(
-                emit_step, (state, proposals), None, length=n_emit
-            )
-            return state, proposals, ys
+        if with_assigner:
+
+            def run_segment(state, proposals, assigner):
+                (state, proposals), ys = jax.lax.scan(
+                    partial(emit_step, assigner),
+                    (state, proposals),
+                    None,
+                    length=n_emit,
+                )
+                return state, proposals, ys
+
+        else:
+
+            def run_segment(state, proposals):
+                (state, proposals), ys = jax.lax.scan(
+                    partial(emit_step, None), (state, proposals), None, length=n_emit
+                )
+                return state, proposals, ys
 
         return jax.jit(run_segment, donate_argnums=(0,))
 
@@ -679,16 +728,71 @@ class SamplerPT:
         def ladder_history(i):
             return hist[i::C].reshape(E * count, self.num_variables)
 
+        # spectral clustering of the pooled fixed-temperature history
+        # (reference: per-chain SampleHistoryClustering.cpp Cluster; one
+        # shared fit keeps assignment a single batched device kernel)
+        needs_clustering = (
+            self.proposal_type == "clustered_covariance"
+            or self.config.blocking_strategy == "clustered_autoblock"
+        )
+        cluster_labels = None
+        if needs_clustering and count > 2:
+            pooled = ladder_history(C - 1)
+            self._assigner = spectral_mod.fit_spectral_clustering(
+                pooled,
+                self.config.sample_clustering_nn,
+                self.config.sample_clustering_nn2,
+                self.config.sample_clustering_num_clusters,
+                self.config.adapt_proposal_max_clustering_samples,
+                self._host_rng,
+            )
+            if self._assigner is None:
+                logger.warning(
+                    "Spectral clustering failed; falling back to unclustered "
+                    "proposals for this segment"
+                )
+            else:
+                cluster_labels = spectral_mod.assign_host(self._assigner, pooled)
+                logger.info(
+                    "Spectral clustering: %d clusters over %d samples "
+                    "(cluster sizes %s)",
+                    self._assigner.num_clusters,
+                    len(pooled),
+                    np.bincount(
+                        cluster_labels, minlength=self._assigner.num_clusters
+                    ).tolist(),
+                )
+
         # blocking from the fixed-temperature pooled history
         # (design deviation from the reference, which blocks per chain: a
         # single block structure is required to batch chains on device)
-        if self.config.blocking_strategy in ("Turek", "clustered_autoblock"):
+        if self.config.blocking_strategy == "Turek":
             self.blocks = blocking_mod.get_blocks(
                 "Turek",
                 self.num_variables,
                 ladder_history(C - 1) if count > 2 else None,
             )
+        elif self.config.blocking_strategy == "clustered_autoblock":
+            self.blocks = blocking_mod.get_blocks(
+                "clustered_autoblock",
+                self.num_variables,
+                ladder_history(C - 1) if count > 2 else None,
+                cluster_assignment=cluster_labels,
+            )
         select_adjusted = self.proposal_type == "gaussian_mixture_adjustedAIC"
+
+        clustered_active = (
+            self.proposal_type == "clustered_covariance"
+            and self._assigner is not None
+        )
+        # per-ladder-position downsampled full-variable histories (+ their
+        # cluster labels when clustering is active), shared across blocks
+        ladder_h = [self._downsample_history(ladder_history(i)) for i in range(C)]
+        ladder_labels = (
+            [spectral_mod.assign_host(self._assigner, h) for h in ladder_h]
+            if clustered_active
+            else [None] * C
+        )
 
         new_proposals = []
         adaptation_record = []
@@ -696,10 +800,22 @@ class SamplerPT:
             ladder_gmms = []
             for i in range(C):
                 if self.ladder[i] == 0.0:
-                    ladder_gmms.append(self._fallback_gmm(block))
+                    gmm = self._fallback_gmm(block)
+                    if clustered_active:
+                        gmm = self._pad_gmm_components(
+                            gmm, self._assigner.num_clusters, block
+                        )
+                    ladder_gmms.append(gmm)
                     continue
-                h = self._downsample_history(ladder_history(i)[:, block])
-                if self.proposal_type == "global_covariance":
+                h = ladder_h[i][:, block]
+                if clustered_active:
+                    gmm = self._fit_clustered_covariance(
+                        h, ladder_labels[i], block
+                    )
+                elif self.proposal_type in (
+                    "global_covariance",
+                    "clustered_covariance",  # clustering failed: single cov
+                ):
                     gmm = self._fit_global_covariance(h, block)
                 else:
                     gmm = None
@@ -715,6 +831,12 @@ class SamplerPT:
                 ladder_gmms.append(gmm)
             gmms = ladder_gmms * E  # every ensemble gets the pooled fit
             adaptation_record.append((block, ladder_gmms[-1]))
+            if clustered_active:
+                build_ptype = "clustered_covariance"
+            elif self.proposal_type == "clustered_covariance":
+                build_ptype = "global_covariance"  # degraded: clustering failed
+            else:
+                build_ptype = self.proposal_type
             new_proposals.append(
                 prop_mod.build_block_proposal(
                     gmms,
@@ -722,7 +844,7 @@ class SamplerPT:
                     len(block),
                     self.dtype,
                     t_dof=self.config.proposal_t_dof,
-                    proposal_type=self.proposal_type,
+                    proposal_type=build_ptype,
                 )
             )
         self.proposals = new_proposals
@@ -761,6 +883,46 @@ class SamplerPT:
             gmm = self._fallback_gmm(block)
         return gmm
 
+    def _pad_gmm_components(self, gmm: GMM, k: int, block: np.ndarray) -> GMM:
+        """Replicate a single-component GMM to k identical components so the
+        component index aligns with the cluster index."""
+        reps = int(np.ceil(k / gmm.num_components))
+        means = np.tile(gmm.means, (reps, 1))[:k]
+        covs = np.tile(gmm.covariances, (reps, 1, 1))[:k]
+        out = GMM.from_params(means, covs, np.full(k, 1.0 / k))
+        return out if out is not None else gmm
+
+    def _fit_clustered_covariance(
+        self, h: np.ndarray, labels: np.ndarray, block: np.ndarray
+    ) -> GMM:
+        """One covariance per spectral cluster, equal weights (reference:
+        ProposalClusteredCovariance.cpp InitializeImpl:185-207). Component
+        index == cluster index; clusters with too few samples fall back to
+        the overall covariance of the history."""
+        k = self._assigner.num_clusters
+        d = len(block)
+        fallback = self._fit_global_covariance(h, block)
+        means = np.tile(fallback.means[0], (k, 1))
+        covs = np.tile(fallback.covariances[0], (k, 1, 1))
+        for ci in range(k):
+            sel = h[labels == ci]
+            if len(sel) >= max(2, d):
+                c = np.cov(sel, rowvar=False, ddof=1).reshape(d, d)
+                c[np.diag_indices(d)] += 1e-8
+                if np.all(np.isfinite(c)):
+                    means[ci] = sel.mean(axis=0)
+                    covs[ci] = c
+        gmm = GMM.from_params(means, covs, np.full(k, 1.0 / k))
+        if gmm is None:
+            for ci in range(k):
+                covs[ci][np.diag_indices(d)] += 1e-6 * np.abs(
+                    np.diag(covs[ci])
+                ).max() + 1e-10
+            gmm = GMM.from_params(means, covs, np.full(k, 1.0 / k))
+        if gmm is None:
+            gmm = self._pad_gmm_components(self._fallback_gmm(block), k, block)
+        return gmm
+
     # ------------------------------------------------------------------
     # Main loop
 
@@ -791,14 +953,25 @@ class SamplerPT:
             stop = min(cfg.num_samples, next_adapt)
             n_emit = stop - emitted
 
+            with_assigner = self._assigner is not None
             seg_key = (
                 n_emit,
                 tuple(p.max_components for p in proposals),
                 tuple(tuple(int(v) for v in b) for b in self.blocks),
+                (len(self._assigner.sample_scale), self._assigner.num_clusters)
+                if with_assigner
+                else None,
             )
             if seg_key not in self._segment_fns:
-                self._segment_fns[seg_key] = self._make_segment_fn(n_emit)
-            state, proposals, ys = self._segment_fns[seg_key](state, proposals)
+                self._segment_fns[seg_key] = self._make_segment_fn(
+                    n_emit, with_assigner
+                )
+            if with_assigner:
+                state, proposals, ys = self._segment_fns[seg_key](
+                    state, proposals, self._assigner
+                )
+            else:
+                state, proposals, ys = self._segment_fns[seg_key](state, proposals)
 
             xs, lps, lls = ys
             xs, lps, lls = (
