@@ -81,7 +81,10 @@ def create_likelihood(
         attrs["_xml_root"] = root  # type: ignore[assignment]
     else:
         ltype = filename_or_type
-        attrs = {k: str(v) for k, v in kwargs.items()}
+        attrs = {
+            k: (v if k.startswith("_") or not isinstance(v, (int, float)) else str(v))
+            for k, v in kwargs.items()
+        }
 
     if ltype not in _REGISTRY:
         raise ValueError(
@@ -152,6 +155,31 @@ def _dummy(varset: VariableSet, attrs) -> Likelihood:
     return Likelihood("dummy", analytic.make_dummy(), attrs=attrs)
 
 
+@register_likelihood("ODE")
+def _ode_template(varset: VariableSet, attrs) -> Likelihood:
+    from bcm3_tpu.likelihoods.ode_template import ODETemplateLikelihood
+
+    model = ODETemplateLikelihood(varset, derivative=attrs.get("_derivative"))
+    lik = Likelihood("ODE", model.log_prob, attrs=attrs)
+    lik.model = model
+    return lik
+
+
+@register_likelihood("dll")
+def _dll(varset: VariableSet, attrs) -> Likelihood:
+    import os
+
+    from bcm3_tpu.likelihoods.plugin import load_plugin_log_prob
+
+    base = attrs.get("dll_filename_base") or attrs.get("plugin")
+    if not base:
+        raise ValueError("dll likelihood requires a dll_filename_base attribute")
+    xml_path = attrs.get("_xml_path")
+    base_dir = os.path.dirname(xml_path) if xml_path else "."
+    log_prob = load_plugin_log_prob(base, list(varset.names), base_dir)
+    return Likelihood("dll", log_prob, attrs=attrs)
+
+
 @register_likelihood("pop_pk_trajectory")
 def _pop_pk(varset: VariableSet, attrs) -> Likelihood:
     from bcm3_tpu.likelihoods.poppk import create_poppk_likelihood
@@ -159,4 +187,14 @@ def _pop_pk(varset: VariableSet, attrs) -> Likelihood:
     pk = create_poppk_likelihood(varset, attrs)
     lik = Likelihood("pop_pk_trajectory", pk.log_prob, attrs=attrs)
     lik.model = pk  # expose trajectories for predict/R-bridge equivalents
+    return lik
+
+
+@register_likelihood("pharmacokinetic_trajectory")
+def _pk_single(varset: VariableSet, attrs) -> Likelihood:
+    from bcm3_tpu.likelihoods.pk_single import create_pk_likelihood
+
+    pk = create_pk_likelihood(varset, attrs)
+    lik = Likelihood("pharmacokinetic_trajectory", pk.log_prob, attrs=attrs)
+    lik.model = pk
     return lik

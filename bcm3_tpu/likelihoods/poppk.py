@@ -247,7 +247,10 @@ class PopPKLikelihood:
             np.isfinite(fixed_periphery_fwd)
         ) + int(np.isfinite(fixed_periphery_bwd))
         expected = self.num_pk_params - fixed_count + 2 * (P + 1) + 2
-        if varset.num_variables != expected:
+        if (
+            not getattr(self, "_skip_varset_check", False)
+            and varset.num_variables != expected
+        ):
             raise ValueError(
                 f"Incorrect number of variables in prior: got "
                 f"{varset.num_variables}, expected {expected}"
