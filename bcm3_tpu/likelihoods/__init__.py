@@ -150,6 +150,26 @@ def _truncated_t(varset: VariableSet, attrs) -> Likelihood:
     )
 
 
+@register_likelihood("pharmaco_single")
+def _pharmaco_single(varset: VariableSet, attrs) -> Likelihood:
+    from bcm3_tpu.likelihoods.pharmaco import create_pharmaco_single
+
+    model = create_pharmaco_single(varset, attrs)
+    lik = Likelihood("pharmaco_single", model.log_prob, attrs=attrs)
+    lik.model = model
+    return lik
+
+
+@register_likelihood("pharmaco_population")
+def _pharmaco_population(varset: VariableSet, attrs) -> Likelihood:
+    from bcm3_tpu.likelihoods.pharmaco import create_pharmaco_population
+
+    model = create_pharmaco_population(varset, attrs)
+    lik = Likelihood("pharmaco_population", model.log_prob, attrs=attrs)
+    lik.model = model
+    return lik
+
+
 @register_likelihood("dummy")
 def _dummy(varset: VariableSet, attrs) -> Likelihood:
     return Likelihood("dummy", analytic.make_dummy(), attrs=attrs)
