@@ -1,0 +1,175 @@
+"""Batched L-stable Rosenbrock integrator for stiff systems.
+
+TPU-native replacement for the reference's CVODE BDF wrapper on stiff
+workloads (reference: src/odecommon/ODESolverCVODE.cpp). CVODE's
+variable-order Nordsieck BDF with per-trajectory step control does not
+vmap: its control flow is data-dependent in structure, not just in
+values. A Rosenbrock-W method has *fixed structure* per step — one
+Jacobian, one LU factorization, s linear solves — so the whole cell /
+patient / chain population integrates in lockstep under `vmap`, with
+the LU and triangular solves batching onto the MXU. Adaptivity (step
+size) remains per-trajectory inside `lax.while_loop`.
+
+Method: RODAS3 — 4 stages, order 3(2) embedded, L-stable, stiffly
+accurate (Sandu et al., "Benchmarking stiff ODE solvers for atmospheric
+chemistry problems II", Atmos. Environ. 31, 1997; the ros_Rodas3
+tableau). The Jacobian is jax.jacfwd of the RHS — the role of the
+reference's generated Jacobian code (SBMLModel.cpp GenerateJacobianCode)
+or CVODE's difference quotients (ODESolverCVODE.cpp:485-520).
+
+Failure semantics match the framework convention: step-limit overrun or
+non-finite states yield NaN trajectories (-> -inf logp -> proposal
+rejection), the batched analogue of CVODE's error return
+(ODESolverCVODE.cpp:354-370).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.linalg import lu_factor, lu_solve
+
+# RODAS3 tableau (KPP ros_Rodas3): 4 stages, order 3(2), L-stable
+_GAMMA = 0.5
+_ALPHA = np.array([0.0, 0.0, 1.0, 1.0])
+_GAMMA_I = np.array([0.5, 1.5, 0.0, 0.0])
+_A = np.zeros((4, 4))
+_A[2, 0] = 2.0
+_A[3, 0] = 2.0
+_A[3, 2] = 1.0
+_C = np.zeros((4, 4))
+_C[1, 0] = 4.0
+_C[2, 0] = 1.0
+_C[2, 1] = -1.0
+_C[3, 0] = 1.0
+_C[3, 1] = -1.0
+_C[3, 2] = -8.0 / 3.0
+_M = np.array([2.0, 0.0, 1.0, 1.0])
+_E = np.array([0.0, 0.0, 0.0, 1.0])
+_ORDER = 3.0
+
+_SAFETY = 0.9
+_MIN_FACTOR = 0.2
+_MAX_FACTOR = 6.0
+
+
+class StiffResult(NamedTuple):
+    ys: jax.Array  # (S, n)
+    ok: jax.Array  # () bool
+    n_steps: jax.Array  # () int32
+
+
+def _rosenbrock_step(f, t, y, h, args):
+    """One RODAS3 step. Returns (y_new, err_vec)."""
+    n = y.shape[0]
+    eye = jnp.eye(n, dtype=y.dtype)
+    J = jax.jacfwd(lambda yy: f(t, yy, args))(y)
+    # time derivative of f for non-autonomous systems
+    ft = jax.jacfwd(lambda tt: f(tt, y, args))(t)
+
+    G = eye / (h * _GAMMA) - J
+    lu = lu_factor(G)
+
+    ks = []
+    for i in range(4):
+        yi = y
+        for j in range(i):
+            yi = yi + _A[i, j] * ks[j]
+        fi = f(t + _ALPHA[i] * h, yi, args)
+        rhs = fi + _GAMMA_I[i] * h * ft
+        for j in range(i):
+            rhs = rhs + (_C[i, j] / h) * ks[j]
+        ks.append(lu_solve(lu, rhs))
+
+    k = jnp.stack(ks)  # (4, n)
+    y_new = y + jnp.tensordot(jnp.asarray(_M, dtype=y.dtype), k, axes=1)
+    err = jnp.tensordot(jnp.asarray(_E, dtype=y.dtype), k, axes=1)
+    return y_new, err
+
+
+def _integrate_segment(f, t0, t1, y0, dt0, args, rtol, atol, max_steps):
+    def cond(carry):
+        t, y, dt, steps, ok = carry
+        return (t < t1) & ok & (steps < max_steps)
+
+    def body(carry):
+        t, y, dt, steps, ok = carry
+        dt_clip = jnp.minimum(dt, t1 - t)
+        y_new, err = _rosenbrock_step(f, t, y, dt_clip, args)
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+        err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+        err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)
+        accept = err_norm <= 1.0
+        factor = jnp.clip(
+            _SAFETY * (err_norm + 1e-30) ** (-1.0 / _ORDER),
+            _MIN_FACTOR,
+            _MAX_FACTOR,
+        )
+        new_dt = dt_clip * factor
+        t = jnp.where(accept, t + dt_clip, t)
+        y = jnp.where(accept, y_new, y)
+        ok = ok & (new_dt > 1e-14 * jnp.maximum(jnp.abs(t1), 1.0))
+        ok = ok & jnp.all(jnp.isfinite(y))
+        return (t, y, new_dt, steps + 1, ok)
+
+    t, y, dt, steps, ok = jax.lax.while_loop(
+        cond, body, (t0, y0, jnp.maximum(dt0, 1e-12), jnp.int32(0), jnp.asarray(True))
+    )
+    ok = (ok & (steps < max_steps)) | (t >= t1)
+    ok = ok & jnp.all(jnp.isfinite(y))
+    return y, dt, steps, ok
+
+
+def solve_at_times_stiff(
+    f: Callable,
+    y0,
+    stop_times,
+    args=None,
+    event_fn: Optional[Callable] = None,
+    rtol: float = 1e-6,
+    atol: float = 1e-9,
+    max_steps_per_segment: int = 5000,
+    first_dt: float = 1e-4,
+) -> StiffResult:
+    """Stiff counterpart of bcm3_tpu.ode.dp5.solve_at_times: integrate
+    across a sorted grid of stop times, applying ``event_fn(i, t, y,
+    args) -> y`` at each stop (dose additions / phase switches = the
+    reference's discontinuity callbacks, ODESolver.cpp:62-77)."""
+    S = stop_times.shape[0]
+
+    def event(i, t, y):
+        if event_fn is None:
+            return y
+        return event_fn(i, t, y, args)
+
+    def scan_body(carry, i):
+        t, y, dt, total_steps, ok = carry
+        t_next = stop_times[i]
+        seg_len = t_next - t
+        y_new, dt_new, steps, seg_ok = _integrate_segment(
+            f, t, t_next, y, dt, args, rtol, atol, max_steps_per_segment
+        )
+        y_new = jnp.where(seg_len > 0, y_new, y)
+        seg_ok = jnp.where(seg_len > 0, seg_ok, True)
+        ok = ok & seg_ok
+        y_rec = jnp.where(ok, y_new, jnp.full_like(y_new, jnp.nan))
+        y_after = event(i, t_next, y_new)
+        return (t_next, y_after, dt_new, total_steps + steps, ok), y_rec
+
+    t0 = stop_times[0]
+    y_init = event(0, t0, y0)
+    init = (
+        t0,
+        y_init,
+        jnp.asarray(first_dt, y0.dtype),
+        jnp.int32(0),
+        jnp.asarray(True),
+    )
+    (tF, yF, dtF, total_steps, ok), ys = jax.lax.scan(
+        scan_body, init, jnp.arange(1, S)
+    )
+    ys = jnp.concatenate([y0[None, :], ys], axis=0)
+    return StiffResult(ys=ys, ok=ok, n_steps=total_steps)
