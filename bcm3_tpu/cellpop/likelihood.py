@@ -1,0 +1,82 @@
+"""Top-level cell-population likelihood: sum over experiments.
+
+TPU-native equivalent of the reference CellPopulationLikelihood
+(reference: src/cellpop/CellPopulationLikelihood.cpp:15-95). The
+reference clones the whole likelihood per sampling thread because it is
+stateful and non-reentrant (CellPopulationLikelihood.h:23); here
+``log_prob`` is a pure function of the parameter vector, so it is
+reentrant by construction and vmaps over the chain population.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from bcm3_tpu.cellpop.experiment import Experiment
+from bcm3_tpu.model.variables import (
+    TRANSFORM_LOG,
+    TRANSFORM_LOG10,
+    TRANSFORM_LOGIT,
+    VariableSet,
+)
+
+
+class CellPopulationLikelihood:
+    def __init__(
+        self,
+        experiments: List[Experiment],
+        varset: VariableSet,
+    ):
+        self.experiments = experiments
+        self.varset = varset
+        self._transforms = np.asarray(varset.transforms)
+
+    @classmethod
+    def from_xml_node(
+        cls,
+        root: ET.Element,
+        varset: VariableSet,
+        base_dir: str = ".",
+        non_sampled_names=None,
+    ) -> "CellPopulationLikelihood":
+        experiments = [
+            Experiment(node, varset, base_dir, non_sampled_names)
+            for node in root.findall("experiment")
+        ]
+        if not experiments:
+            raise ValueError("cell_population likelihood requires experiments")
+        return cls(experiments, varset)
+
+    def _transform(self, values):
+        t = jnp.asarray(self._transforms)
+        x = values
+        x = jnp.where(t == TRANSFORM_LOG, jnp.exp(values), x)
+        x = jnp.where(t == TRANSFORM_LOG10, jnp.power(10.0, values), x)
+        x = jnp.where(t == TRANSFORM_LOGIT, 1.0 / (1.0 + jnp.exp(-values)), x)
+        return x
+
+    def log_prob(self, values):
+        tv = self._transform(values)
+        logp = jnp.zeros((), dtype=values.dtype)
+        for exp in self.experiments:
+            logp = logp + exp.log_prob(tv)
+        return jnp.where(jnp.isnan(logp), -jnp.inf, logp)
+
+    def close(self):
+        for exp in self.experiments:
+            exp.close()
+
+
+def create_cellpop_likelihood(varset: VariableSet, attrs):
+    """Factory entry (reference: LikelihoodFactory.cpp 'cell_population')."""
+    root = attrs.get("_xml_root")
+    if root is None:
+        raise ValueError("cell_population likelihood requires an XML definition")
+    xml_path = attrs.get("_xml_path")
+    base_dir = os.path.dirname(xml_path) if xml_path else "."
+    return CellPopulationLikelihood.from_xml_node(root, varset, base_dir)

@@ -170,6 +170,16 @@ def _pharmaco_population(varset: VariableSet, attrs) -> Likelihood:
     return lik
 
 
+@register_likelihood("cell_population")
+def _cell_population(varset: VariableSet, attrs) -> Likelihood:
+    from bcm3_tpu.cellpop.likelihood import create_cellpop_likelihood
+
+    model = create_cellpop_likelihood(varset, attrs)
+    lik = Likelihood("cell_population", model.log_prob, attrs=attrs)
+    lik.model = model
+    return lik
+
+
 @register_likelihood("dummy")
 def _dummy(varset: VariableSet, attrs) -> Likelihood:
     return Likelihood("dummy", analytic.make_dummy(), attrs=attrs)

@@ -1,0 +1,113 @@
+"""End-to-end cellpop experiment tests
+(reference: src/cellpop/CellPopulationLikelihood.cpp, Experiment.cpp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bcm3_tpu.likelihoods import create_likelihood
+from bcm3_tpu.model.variables import VariableSet
+
+SBML_NS = "http://www.sbml.org/sbml/level2/version4"
+MATHML = "http://www.w3.org/1998/Math/MathML"
+
+# A minimal dividing-cell model: 'mass' produced at rate k_growth,
+# 'cytokinesis' produced at rate k_div -> cell divides at t = 1/k_div.
+CELL_MODEL = f"""<?xml version="1.0"?>
+<sbml xmlns="{SBML_NS}" level="2" version="4">
+<model id="cell">
+<listOfSpecies>
+  <species id="mass" name="mass" initialAmount="1.0"/>
+  <species id="cytokinesis" name="cytokinesis" initialAmount="0.0"/>
+</listOfSpecies>
+<listOfReactions>
+  <reaction id="growth">
+    <listOfProducts><speciesReference species="mass"/></listOfProducts>
+    <kineticLaw><math xmlns="{MATHML}">
+      <apply><times/><ci>k_growth</ci><ci>mass</ci></apply>
+    </math></kineticLaw>
+  </reaction>
+  <reaction id="division_clock">
+    <listOfProducts><speciesReference species="cytokinesis"/></listOfProducts>
+    <kineticLaw><math xmlns="{MATHML}">
+      <ci>k_div</ci>
+    </math></kineticLaw>
+  </reaction>
+</listOfReactions>
+</model>
+</sbml>
+"""
+
+
+@pytest.fixture
+def setup(tmp_path):
+    import h5py
+
+    (tmp_path / "cell.xml").write_text(CELL_MODEL)
+
+    # synthetic observed data: population-average mass at 5 timepoints,
+    # generated from k_growth=0.1, k_div=0.25 (division at t=4)
+    times = np.array([0.5, 2.0, 4.5, 6.0, 7.5])
+    k_growth = 0.1
+    obs = np.exp(k_growth * times)[None, :]  # avg mass (all cells same mass)
+    with h5py.File(tmp_path / "data.nc", "w") as f:
+        g = f.create_group("exp1")
+        g.create_dataset("time", data=times)
+        g.create_dataset("avg_mass", data=obs)
+
+    lik_xml = tmp_path / "likelihood.xml"
+    lik_xml.write_text(
+        '<bcm_likelihood type="cell_population">\n'
+        '<experiment name="exp1" model_file="cell.xml" data_file="data.nc"\n'
+        '  num_cells="1" max_cells="7" divide_cells="true" entry_time="0"\n'
+        '  solver_type="DP5" solver_relative_tolerance="1e-8"\n'
+        '  solver_absolute_tolerance="1e-10" trailing_simulation_time="0.5">\n'
+        '  <data type="time_course_population_average" data_name="avg_mass"\n'
+        '    species_name="mass" error_model="normal" stdev="sd"/>\n'
+        "</experiment>\n"
+        "</bcm_likelihood>\n"
+    )
+
+    vs = VariableSet()
+    vs.add_variable("k_growth")
+    vs.add_variable("k_div")
+    vs.add_variable("sd")
+    lik = create_likelihood(str(lik_xml), vs)
+    return lik, times, k_growth
+
+
+def test_cellpop_logp_finite_and_peaked(setup):
+    lik, times, k_growth = setup
+    truth = jnp.asarray([0.1, 0.25, 0.05])
+    lp_truth = float(lik.log_prob(truth))
+    assert np.isfinite(lp_truth)
+    lp_wrong = float(lik.log_prob(jnp.asarray([0.3, 0.25, 0.05])))
+    assert lp_truth > lp_wrong
+
+
+def test_cellpop_population_grows(setup):
+    lik, times, k_growth = setup
+    exp = lik.model.experiments[0]
+    tv = jnp.asarray([0.1, 0.25, 0.05])
+    res = exp.simulate(tv)
+    # k_div = 0.25 -> divisions at t=4 and t=8 (after end 8.0) -> 3 cells
+    active = np.asarray(res.active)
+    assert active.sum() == 3
+    np.testing.assert_allclose(float(res.division_time[0]), 4.0, atol=0.1)
+    pop = np.asarray(exp._population_size(res, jnp.asarray([1.0, 5.0])))
+    assert pop[0] == 1
+    assert pop[1] == 2  # parent no longer alive, two daughters
+
+
+def test_cellpop_jit_vmap(setup):
+    lik, times, k_growth = setup
+    f = jax.jit(jax.vmap(lik.log_prob))
+    batch = jnp.asarray(
+        [[0.1, 0.25, 0.05], [0.12, 0.25, 0.05], [0.1, 0.3, 0.08]]
+    )
+    out = np.asarray(f(batch))
+    assert np.isfinite(out).all()
+    # single eval must agree with batch member
+    single = float(lik.log_prob(batch[0]))
+    np.testing.assert_allclose(out[0], single, rtol=1e-10)
