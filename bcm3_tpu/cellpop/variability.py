@@ -210,7 +210,8 @@ def sobol_unit_normals(total_dims: int, initial_cells: int) -> np.ndarray:
     if total_dims == 0:
         return np.zeros((n, 0))
     eng = qmc.Sobol(d=total_dims, scramble=False)
-    u = eng.random(n)
+    n_pow2 = 1 << max(0, int(np.ceil(np.log2(max(n, 1)))))
+    u = eng.random(n_pow2)[:n]
     # guard against the degenerate first point (all zeros)
     u = np.clip(u, 1e-12, 1.0 - 1e-12)
     return norm.ppf(u)

@@ -180,6 +180,32 @@ def _cell_population(varset: VariableSet, attrs) -> Likelihood:
     return lik
 
 
+@register_likelihood("cell_cycle_marker")
+def _ccm(varset: VariableSet, attrs) -> Likelihood:
+    from bcm3_tpu.likelihoods.cellmisc import create_cell_cycle_marker
+
+    model = create_cell_cycle_marker(varset, attrs)
+    return Likelihood("cell_cycle_marker", model.log_prob, attrs=attrs)
+
+
+@register_likelihood("mitosis_time_estimation")
+def _mte(varset: VariableSet, attrs) -> Likelihood:
+    from bcm3_tpu.likelihoods.cellmisc import create_mitosis_time_estimation
+
+    model = create_mitosis_time_estimation(varset, attrs)
+    return Likelihood("mitosis_time_estimation", model.log_prob, attrs=attrs)
+
+
+@register_likelihood("incucyte_population")
+def _incucyte(varset: VariableSet, attrs) -> Likelihood:
+    from bcm3_tpu.likelihoods.cellmisc import create_incucyte_population
+
+    model = create_incucyte_population(varset, attrs)
+    lik = Likelihood("incucyte_population", model.log_prob, attrs=attrs)
+    lik.model = model
+    return lik
+
+
 @register_likelihood("dummy")
 def _dummy(varset: VariableSet, attrs) -> Likelihood:
     return Likelihood("dummy", analytic.make_dummy(), attrs=attrs)
