@@ -1,0 +1,326 @@
+"""fISA likelihood: steady-state signaling activities vs observed data.
+
+TPU-native equivalent of the reference fISA likelihood layer
+(reference: src/fISA/fISALikelihood.cpp, fISAExperiment.cpp,
+fISAExperimentSingleCondition.cpp). Single-condition experiments are
+supported: per-cell-line steady-state solves (vmapped over cell lines —
+the reference fans them out over a thread pool,
+fISAExperimentSingleCondition.cpp StartEvaluateLogProbability) with
+data parts mapping activities to measurements via optional base/scale
+parameters and normal / truncated-normal / student-t / truncated-t
+error models (ParseDataPartBase:243-330, EvaluateCellLine:60-200).
+
+The reference's drug-range and Incucyte-sequential experiment variants
+(fISAExperimentDrugRange.cpp, fISAExperimentIncucyteSequential.cpp)
+build on the same network core; drug-range support is expressed by
+sweeping the drug species' preset activity.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bcm3_tpu.distributions.univariate import (
+    logpdf_normal,
+    logpdf_t,
+    logpdf_truncated_normal,
+    logpdf_truncated_t,
+)
+from bcm3_tpu.fisa.network import SignalingNetwork
+from bcm3_tpu.model.variables import (
+    TRANSFORM_LOG,
+    TRANSFORM_LOG10,
+    TRANSFORM_LOGIT,
+    VariableSet,
+)
+
+
+@dataclass
+class DataPart:
+    """One <data> element (reference: ParseDataPartBase:243-330)."""
+
+    model_ix: int
+    data: np.ndarray  # (n_replicates, n_cell_lines)
+    likelihood_fn: str = "studentt"
+    weight: float = 1.0
+    use_base: bool = True
+    use_scale: bool = True
+    scale_var_with_mean: bool = True
+    data_is_inactive_form: bool = False
+    scale_per_cell_line: bool = False
+    base_ix: Optional[int] = None
+    fixed_base: float = 0.0
+    scale_ix: Optional[int] = None
+    sd_ix: Optional[int] = None
+    fixed_sd: float = np.nan
+    expression_ix: Optional[int] = None
+
+
+@dataclass
+class Condition:
+    model_ix: int
+    values: Optional[np.ndarray] = None  # (n_cell_lines,)
+    parameter_ix: Optional[int] = None
+
+
+@dataclass
+class ExpressionLevel:
+    model_ix: int
+    values: np.ndarray  # (n_cell_lines,)
+    base_ix: Optional[int] = None
+    scale_ix: Optional[int] = None
+
+
+class FISAExperiment:
+    def __init__(
+        self,
+        node: ET.Element,
+        varset: VariableSet,
+        base_dir: str = ".",
+    ):
+        self.name = node.get("name")
+        self.varset = varset
+        model_file = node.get("model_file")
+        if not os.path.isabs(model_file):
+            model_file = os.path.join(base_dir, model_file)
+        self.network = SignalingNetwork.from_sbml(
+            model_file,
+            varset,
+            activation_limit=node.get("activation_limit", "minmax"),
+        )
+
+        data_file = node.get("data_file")
+        if not os.path.isabs(data_file):
+            data_file = os.path.join(base_dir, data_file)
+        import h5py
+
+        self.conditions: List[Condition] = []
+        self.expression_levels: List[ExpressionLevel] = []
+        self.data_parts: List[DataPart] = []
+        with h5py.File(data_file, "r") as f:
+            g = f[self.name]
+            cl = g["cell_lines"]
+            self.cell_lines = [
+                c.decode() if isinstance(c, bytes) else str(c) for c in cl
+            ]
+            P = len(self.cell_lines)
+
+            for cnode in node:
+                if cnode.tag in ("condition", "mutation"):
+                    mix = self.network.molecule_ix_by_name(
+                        cnode.get("species_name")
+                    )
+                    c = Condition(model_ix=mix)
+                    if cnode.get("data_name"):
+                        c.values = self._read_2d(g, cnode.get("data_name"), P)
+                    elif cnode.get("variable_name"):
+                        c.parameter_ix = varset.index_of(
+                            cnode.get("variable_name")
+                        )
+                    else:
+                        c.values = np.full(P, float(cnode.get("value")))
+                    self.conditions.append(c)
+                elif cnode.tag == "expression_level":
+                    name = cnode.get("species_name")
+                    mix = self.network.molecule_ix_by_name(name)
+                    if cnode.get("data_name"):
+                        values = self._read_2d(g, cnode.get("data_name"), P)
+                    else:
+                        values = np.full(P, float(cnode.get("value")))
+                    el = ExpressionLevel(model_ix=mix, values=values)
+                    base_name = cnode.get(
+                        "base_parameter", f"base_expression[{name}]"
+                    )
+                    scale_name = cnode.get(
+                        "scale_parameter", f"scale_expression[{name}]"
+                    )
+                    if base_name in varset.names:
+                        el.base_ix = varset.index_of(base_name)
+                    if scale_name in varset.names:
+                        el.scale_ix = varset.index_of(scale_name)
+                    self.expression_levels.append(el)
+                elif cnode.tag == "data":
+                    self.data_parts.append(self._parse_data(cnode, g, P))
+
+    @staticmethod
+    def _read_2d(g, data_name: str, P: int) -> np.ndarray:
+        """'name[i]' references row i of a 2-D [rows, cell_lines] dataset
+        (reference: ParseDataFileReference)."""
+        if "[" in data_name:
+            base, rest = data_name.split("[", 1)
+            ix = int(rest.rstrip("]"))
+            return np.asarray(g[base][ix][:P], dtype=np.float64)
+        arr = np.asarray(g[data_name], dtype=np.float64)
+        return arr[:P] if arr.ndim == 1 else arr[0][:P]
+
+    def _parse_data(self, node, g, P: int) -> DataPart:
+        varset = self.varset
+        name = node.get("species_name")
+        mix = self.network.molecule_ix_by_name(name)
+        raw = np.asarray(g[node.get("data_name")], dtype=np.float64)
+        if raw.ndim == 1:
+            raw = raw[None, :]
+        suffix = node.get("base_scale_sd_suffix", "")
+        dp = DataPart(
+            model_ix=mix,
+            data=raw,
+            likelihood_fn=node.get("likelihood_function", "studentt"),
+            weight=float(node.get("weight", "1.0")),
+            use_base=node.get("use_base", "true").lower() in ("1", "true"),
+            use_scale=node.get("use_scale", "true").lower() in ("1", "true"),
+            scale_var_with_mean=node.get("scale_var_with_mean", "true").lower()
+            in ("1", "true"),
+            data_is_inactive_form=node.get(
+                "data_is_inactive_form", "false"
+            ).lower()
+            in ("1", "true"),
+        )
+        if dp.likelihood_fn not in (
+            "normal",
+            "truncated_normal",
+            "studentt",
+            "truncated_t",
+        ):
+            raise ValueError(
+                f"Unsupported likelihood function '{dp.likelihood_fn}'"
+            )
+        if dp.use_base:
+            base_str = node.get("base", f"base_{suffix}")
+            if base_str in varset.names:
+                dp.base_ix = varset.index_of(base_str)
+            else:
+                dp.fixed_base = float(base_str)
+        if dp.use_scale:
+            dp.scale_ix = varset.index_of(f"scale_{suffix}")
+        sd_str = node.get("sd", f"sd_{suffix}")
+        if sd_str in varset.names:
+            dp.sd_ix = varset.index_of(sd_str)
+        else:
+            dp.fixed_sd = float(sd_str)
+        expr = node.get("expression", "")
+        if expr:
+            dp.expression_ix = self.network.molecule_ix_by_name(expr)
+        return dp
+
+    # ------------------------------------------------------------------
+
+    def _prepare(self, tv, cell_ix):
+        """Preset activities + expression for one cell line
+        (reference: fISAExperiment PrepareActivitiesCalculation)."""
+        n = self.network.num_molecules
+        activities = jnp.full((n,), jnp.nan)
+        # drugs default to concentration 0
+        for i, m in enumerate(self.network.molecules):
+            if m.mtype == "Drug":
+                activities = activities.at[i].set(0.0)
+        for c in self.conditions:
+            if c.parameter_ix is not None:
+                val = tv[c.parameter_ix]
+            else:
+                val = jnp.asarray(c.values)[cell_ix]
+            activities = activities.at[c.model_ix].set(val)
+
+        expression = jnp.ones((n,))
+        for el in self.expression_levels:
+            v = jnp.asarray(el.values)[cell_ix]
+            if el.base_ix is not None and el.scale_ix is not None:
+                e = (v - tv[el.base_ix]) / tv[el.scale_ix]
+            elif el.base_ix is not None:
+                e = (v - tv[el.base_ix]) / (1.0 - tv[el.base_ix])
+            else:
+                e = v
+            expression = expression.at[el.model_ix].set(jnp.clip(e, 0.0, 1.0))
+        return activities, expression
+
+    def log_prob(self, tv):
+        """Experiment logp over all cell lines (vmapped solves)."""
+        P = len(self.cell_lines)
+
+        def cell_line_logp(cell_ix):
+            preset, expression = self._prepare(tv, cell_ix)
+            activities = self.network.calculate(tv, expression, preset)
+            logp = jnp.zeros(())
+            for d in self.data_parts:
+                z = activities[d.model_ix]
+                if d.data_is_inactive_form:
+                    me = self.network.max_expression(
+                        d.model_ix, expression, tv
+                    )
+                    z = me - z
+                if d.expression_ix is not None:
+                    z = z * expression[d.expression_ix]
+                if d.use_scale and d.scale_ix is not None:
+                    z = z * tv[d.scale_ix]
+                if d.use_base:
+                    z = z + (
+                        tv[d.base_ix] if d.base_ix is not None else d.fixed_base
+                    )
+                sd = (
+                    tv[d.sd_ix]
+                    if d.sd_ix is not None
+                    else jnp.asarray(d.fixed_sd)
+                )
+                if d.scale_var_with_mean:
+                    sd = sd * jnp.abs(z)
+                obs = jnp.asarray(d.data)[:, cell_ix]  # (n_replicates,)
+                if d.likelihood_fn == "normal":
+                    pw = logpdf_normal(obs, z, sd)
+                elif d.likelihood_fn == "truncated_normal":
+                    pw = logpdf_truncated_normal(obs, z, sd, 0.0, 1.0)
+                elif d.likelihood_fn == "truncated_t":
+                    zc = jnp.minimum(z, 1.0)
+                    pw = logpdf_truncated_t(obs, zc, sd, 3.0, 0.0, 1.0)
+                else:  # studentt (nu=3, reference LogPdfTnu3)
+                    pw = logpdf_t(obs, z, sd, 3.0)
+                logp = logp + d.weight * jnp.sum(
+                    jnp.where(jnp.isnan(obs), 0.0, pw)
+                )
+            return logp
+
+        return jnp.sum(jax.vmap(cell_line_logp)(jnp.arange(P)))
+
+
+class FISALikelihood:
+    """Sum over experiments (reference: fISALikelihood.cpp:87-106)."""
+
+    def __init__(self, experiments: List[FISAExperiment], varset: VariableSet):
+        self.experiments = experiments
+        self.varset = varset
+        self._transforms = np.asarray(varset.transforms)
+
+    def _transform(self, values):
+        t = jnp.asarray(self._transforms)
+        x = values
+        x = jnp.where(t == TRANSFORM_LOG, jnp.exp(values), x)
+        x = jnp.where(t == TRANSFORM_LOG10, jnp.power(10.0, values), x)
+        x = jnp.where(t == TRANSFORM_LOGIT, 1.0 / (1.0 + jnp.exp(-values)), x)
+        return x
+
+    def log_prob(self, values):
+        tv = self._transform(values)
+        logp = jnp.zeros((), dtype=values.dtype)
+        for exp in self.experiments:
+            logp = logp + exp.log_prob(tv)
+        return jnp.where(jnp.isnan(logp), -jnp.inf, logp)
+
+
+def create_fisa_likelihood(varset: VariableSet, attrs):
+    root = attrs.get("_xml_root")
+    if root is None:
+        raise ValueError("fISA likelihood requires an XML definition")
+    xml_path = attrs.get("_xml_path")
+    base_dir = os.path.dirname(xml_path) if xml_path else "."
+    experiments = [
+        FISAExperiment(node, varset, base_dir)
+        for node in root.findall("experiment")
+    ]
+    if not experiments:
+        raise ValueError("fISA likelihood requires at least one experiment")
+    return FISALikelihood(experiments, varset)

@@ -206,6 +206,16 @@ def _incucyte(varset: VariableSet, attrs) -> Likelihood:
     return lik
 
 
+@register_likelihood("fISA")
+def _fisa(varset: VariableSet, attrs) -> Likelihood:
+    from bcm3_tpu.fisa import create_fisa_likelihood
+
+    model = create_fisa_likelihood(varset, attrs)
+    lik = Likelihood("fISA", model.log_prob, attrs=attrs)
+    lik.model = model
+    return lik
+
+
 @register_likelihood("dummy")
 def _dummy(varset: VariableSet, attrs) -> Likelihood:
     return Likelihood("dummy", analytic.make_dummy(), attrs=attrs)
