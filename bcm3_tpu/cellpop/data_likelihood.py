@@ -134,8 +134,9 @@ def hungarian_match_logp(cost_logp: np.ndarray, obs_valid: np.ndarray,
     matrix; returns the total matched logp or -inf when not enough valid
     simulated cells exist
     (reference: DataLikelihoodTimePoints.cpp Evaluate:200-289 with
-    hungarianMinimumWeightPerfectMatching)."""
-    from scipy.optimize import linear_sum_assignment
+    hungarianMinimumWeightPerfectMatching). Solved by the native C++ JV
+    solver (native/lap.cpp) with a scipy fallback."""
+    from bcm3_tpu.native import lap_solve
 
     obs_ix = np.where(obs_valid)[0]
     sim_ix = np.where(sim_valid)[0]
@@ -145,12 +146,9 @@ def hungarian_match_logp(cost_logp: np.ndarray, obs_valid: np.ndarray,
         return -np.inf
     sub = cost_logp[np.ix_(obs_ix, sim_ix)]
     sub = np.where(np.isfinite(sub), sub, -1e100)
-    try:
-        rows, cols = linear_sum_assignment(-sub)
-    except ValueError:
-        return -np.inf
-    total = sub[rows, cols].sum()
-    if total <= -1e90:
+    _, neg_total = lap_solve(-sub)
+    total = -neg_total
+    if not np.isfinite(total) or total <= -1e90:
         return -np.inf
     return float(total)
 

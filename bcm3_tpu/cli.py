@@ -142,13 +142,125 @@ def predict(opts) -> int:
     return 0
 
 
+def bcmopt(opts) -> int:
+    """MAP re-estimation over stored samples
+    (reference: src/bcmopt/main.cpp:15-240): for each temperature and
+    every subsampled stored sample, fix the non-sampled parameters (the
+    stored variables not in the current prior), run a short sampler with
+    a MAP sink and record MAP_estimates.tsv +
+    MAP_estimates_paramvalues.tsv."""
+    import numpy as np
+
+    from bcm3_tpu.io.output import SampleHandlerMAP, load_results
+    from bcm3_tpu.likelihoods import Likelihood, create_likelihood
+    from bcm3_tpu.model.prior import Prior
+    from bcm3_tpu.model.variables import VariableSet
+    from bcm3_tpu.sampler.factory import create_sampler
+
+    output_path = opts["output.folder"]
+    _setup_logging(output_path)
+    log = logging.getLogger("bcmopt")
+
+    varset = VariableSet.from_xml(opts["prior"])
+    prior = Prior.from_xml(opts["prior"], varset)
+
+    res = load_results(os.path.join(output_path, opts["bcmopt.input"]))
+    stored_names = res["variables"]
+    stored_transforms = res["variable_transform"]
+    samples = res["samples"]  # (S, C, Dfull)
+    temps = res["temperatures"]
+    S = samples.shape[0]
+
+    # non-sampled parameters = stored variables not in the current prior
+    # (reference: src/bcmopt/main.cpp:134-149)
+    non_sampled_ix = [
+        i for i, name in enumerate(stored_names) if name not in varset.names
+    ]
+    non_sampled_names = [stored_names[i] for i in non_sampled_ix]
+    sampled_pos = [stored_names.index(n) for n in varset.names]
+
+    # likelihood over the FULL stored variable layout; sampled entries are
+    # substituted at evaluation time
+    full_varset = VariableSet()
+    for i, name in enumerate(stored_names):
+        full_varset.names.append(name)
+        full_varset.transforms.append(int(stored_transforms[i]))
+    full_lik = create_likelihood(opts["likelihood"], full_varset)
+
+    num_input = int(opts.get("bcmopt.num_samples", "10"))
+    start_ix = S // 2
+    use_ix = [
+        start_ix
+        + i * (S - start_ix) // num_input
+        + ((S - start_ix) // num_input - 1)
+        for i in range(num_input)
+    ]
+
+    import jax.numpy as jnp
+
+    fn1 = os.path.join(output_path, "MAP_estimates.tsv")
+    fn2 = os.path.join(output_path, "MAP_estimates_paramvalues.tsv")
+    f1 = open(fn1, "w")
+    f1.write("temperature" + "".join(f"\t{i}" for i in range(num_input)) + "\n")
+    f2 = open(fn2, "w")
+    f2.write(
+        "temperature_sample\tlog posterior\tlog likelihood"
+        + "".join(f"\tfixed_{n}" for n in non_sampled_names)
+        + "".join(f"\toptimized_{n}" for n in varset.names)
+        + "\n"
+    )
+
+    for ti in range(len(temps)):
+        log.info("Temperature %d (%g)...", ti, temps[ti])
+        f1.write(f"{temps[ti]:g}")
+        for si in use_ix:
+            fixed_full = jnp.asarray(samples[si, ti, :])
+            pos = jnp.asarray(sampled_pos)
+
+            def log_prob(values, _fixed=fixed_full, _pos=pos):
+                full = _fixed.at[_pos].set(values)
+                return full_lik.log_prob(full)
+
+            sub_lik = Likelihood("bcmopt", log_prob)
+            sampler = create_sampler(prior, sub_lik, opts)
+            handler = SampleHandlerMAP()
+            sampler.sample_handlers.append(handler)
+            sampler.run()
+            f1.write(f"\t{handler.map_lposterior:g}")
+            f2.write(
+                f"{temps[ti]:g}_{si}\t{handler.map_lposterior:g}"
+                f"\t{handler.map_llikelihood:g}"
+            )
+            for i in non_sampled_ix:
+                f2.write(f"\t{samples[si, ti, i]:g}")
+            if handler.map_sample is not None:
+                for v in handler.map_sample:
+                    f2.write(f"\t{v:g}")
+            f2.write("\n")
+        f1.write("\n")
+    f1.close()
+    f2.close()
+    log.info("Wrote %s and %s", fn1, fn2)
+    return 0
+
+
 def main(argv=None) -> int:
+    # the environment may force-register a TPU plugin via sitecustomize and
+    # ignore the JAX_PLATFORMS env var; honor it explicitly so subprocess
+    # invocations (tests, R-driven runs) can select the CPU backend
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from bcm3_tpu.io.config import build_arg_parser, options_from_args
 
     args = build_arg_parser().parse_args(argv)
     opts = options_from_args(args)
     if args.predict:
         return predict(opts)
+    if getattr(args, "bcmopt", False):
+        return bcmopt(opts)
     return run(opts)
 
 

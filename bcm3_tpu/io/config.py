@@ -27,6 +27,8 @@ _DEFAULTS = {
     "predict.output": "prediction.nc",
     "predict.skip_n": "0",
     "predict.specific_temperature": "",
+    "bcmopt.input": "output.nc",
+    "bcmopt.num_samples": "10",
     "progress_update_time": "0.5",
     "sampler.type": "ptmh",
     "sampler.num_samples": "2500",
@@ -57,6 +59,8 @@ _DEFAULTS = {
     "ptmhsampler.num_ensembles": "1",
     # TPU-native extension: device batch size for the importance sampler
     "issampler.batch_size": "1024",
+    # TPU-native extension: mid-run checkpoint/resume
+    "ptmhsampler.checkpoint_file": "",
 }
 
 
@@ -68,7 +72,11 @@ def load_options(
     config_file: Optional[str] = None, overrides: Optional[Dict[str, str]] = None
 ) -> Dict[str, str]:
     """Merged option map: defaults < config file < explicit overrides."""
+    import os
+
     opts = dict(_DEFAULTS)
+    if config_file == "config.txt" and not os.path.exists(config_file):
+        config_file = None  # tolerate a missing default config file
     if config_file:
         cp = configparser.ConfigParser(inline_comment_prefixes=("#", ";"))
         with open(config_file) as f:
@@ -117,6 +125,7 @@ def pt_config_from_options(opts: Dict[str, str]) -> PTConfig:
         proposal_t_dof=float(g("ptmhsampler.proposal_t_dof")),
         initial_position_tries=int(g("ptmhsampler.initial_position_tries")),
         num_ensembles=int(g("ptmhsampler.num_ensembles")),
+        checkpoint_file=g("ptmhsampler.checkpoint_file") or "",
     )
 
 
@@ -131,6 +140,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--output.folder", dest="output_folder", default=None)
     p.add_argument("--learning_rate", "-e", type=float, default=None)
     p.add_argument("--predict", action="store_true")
+    p.add_argument("--bcmopt", action="store_true")
+    p.add_argument("--bcmopt.input", dest="bcmopt_input", default=None)
+    p.add_argument(
+        "--bcmopt.num_samples", dest="bcmopt_num_samples", type=int, default=None
+    )
     p.add_argument("--predict.input", dest="predict_input", default=None)
     p.add_argument("--predict.output", dest="predict_output", default=None)
     p.add_argument("--predict.skip_n", dest="predict_skip_n", type=int, default=None)
@@ -155,6 +169,8 @@ def options_from_args(args) -> Dict[str, str]:
         "predict.input": args.predict_input,
         "predict.output": args.predict_output,
         "predict.skip_n": args.predict_skip_n,
+        "bcmopt.input": args.bcmopt_input,
+        "bcmopt.num_samples": args.bcmopt_num_samples,
         "sampler.num_samples": args.num_samples,
         "sampler.use_every_nth": args.use_every_nth,
         "sampler.rngseed": args.rngseed,

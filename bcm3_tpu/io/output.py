@@ -96,6 +96,10 @@ class SampleHandlerHDF5:
         if (i1 // self.sync_every) != (i0 // self.sync_every):
             self._file.flush()
 
+    def set_position(self, ix: int):
+        """Continue writing at an absolute row (checkpoint resume)."""
+        self.sample_ix = int(ix)
+
     def close(self):
         self._file.flush()
         self._file.close()
@@ -105,6 +109,53 @@ class SampleHandlerHDF5:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class SampleHandlerTSV:
+    """Tab-separated sink for the fixed-temperature chain
+    (reference: src/sampler/SampleHandlerTSV.cpp — T=1 only)."""
+
+    def __init__(self, filename: str, variable_names: Sequence[str]):
+        self.filename = filename
+        self._f = open(filename, "w")
+        self._f.write(
+            "\t".join(["log_prior", "log_likelihood"] + list(variable_names))
+            + "\n"
+        )
+
+    def receive_samples(self, xs, lprior, llh, temperatures, weights=None):
+        for s in range(xs.shape[0]):
+            row = [f"{lprior[s, -1]:.10g}", f"{llh[s, -1]:.10g}"] + [
+                f"{v:.10g}" for v in xs[s, -1, :]
+            ]
+            self._f.write("\t".join(row) + "\n")
+
+    def close(self):
+        self._f.close()
+
+
+class SampleHandlerMAP:
+    """Running maximum-a-posteriori tracker
+    (reference: src/sampler/SampleHandlerStoreMaxAPosteriori.cpp)."""
+
+    def __init__(self):
+        self.map_lposterior = -np.inf
+        self.map_llikelihood = np.nan
+        self.map_sample = None
+
+    def receive_samples(self, xs, lprior, llh, temperatures, weights=None):
+        lpost = lprior[:, -1] + llh[:, -1]
+        ix = int(np.nanargmax(lpost)) if len(lpost) else 0
+        if len(lpost) and lpost[ix] > self.map_lposterior:
+            self.map_lposterior = float(lpost[ix])
+            self.map_llikelihood = float(llh[ix, -1])
+            self.map_sample = np.array(xs[ix, -1, :])
+
+    def reset(self):
+        self.__init__()
+
+    def close(self):
+        pass
 
 
 def load_results(filename: str):

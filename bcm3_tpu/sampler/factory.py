@@ -28,4 +28,42 @@ def create_sampler(prior, likelihood, opts: Dict[str, str]):
             batch_size=int(opts.get("issampler.batch_size", "1024")),
         )
         return SamplerIS(prior, likelihood, cfg)
-    raise ValueError(f"Unknown sampler.type '{stype}' (expected ptmh|is)")
+    if stype == "hmc":
+        from bcm3_tpu.sampler.hmc import HMCConfig, SamplerHMC
+
+        cfg = HMCConfig(
+            num_samples=int(opts.get("sampler.num_samples", "1000")),
+            use_every_nth=int(opts.get("sampler.use_every_nth", "1")),
+            num_warmup=int(opts.get("hmcsampler.num_warmup", "500")),
+            num_chains=int(opts.get("hmcsampler.num_chains", "8")),
+            num_leapfrog_steps=int(
+                opts.get("hmcsampler.num_leapfrog_steps", "16")
+            ),
+            target_accept=float(opts.get("hmcsampler.target_accept", "0.8")),
+            seed=int(opts.get("sampler.rngseed", "0")),
+        )
+        return SamplerHMC(prior, likelihood, cfg)
+    if stype == "smc":
+        from bcm3_tpu.sampler.smc import SamplerSMC, SMCConfig
+
+        cfg = SMCConfig(
+            num_particles=int(opts.get("smcsampler.num_particles", "2048")),
+            mutation_steps=int(opts.get("smcsampler.mutation_steps", "5")),
+            ess_target=float(opts.get("smcsampler.ess_target", "0.5")),
+            seed=int(opts.get("sampler.rngseed", "0")),
+        )
+        return SamplerSMC(prior, likelihood, cfg)
+    if stype == "vi":
+        from bcm3_tpu.sampler.vi import SamplerVI, VIConfig
+
+        cfg = VIConfig(
+            num_iterations=int(opts.get("visampler.num_iterations", "2000")),
+            num_mc_samples=int(opts.get("visampler.num_mc_samples", "32")),
+            learning_rate=float(opts.get("visampler.learning_rate", "0.05")),
+            num_samples=int(opts.get("sampler.num_samples", "1000")),
+            seed=int(opts.get("sampler.rngseed", "0")),
+        )
+        return SamplerVI(prior, likelihood, cfg)
+    raise ValueError(
+        f"Unknown sampler.type '{stype}' (expected ptmh|is|hmc|smc|vi)"
+    )

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -96,6 +97,10 @@ class PTConfig:
     # emitted samples from all replicas are pooled per temperature. This is
     # the lever that fills the chip when the ladder alone is too small.
     num_ensembles: int = 1
+    # TPU-native extension: mid-run checkpoint/resume (the reference cannot
+    # resume a crashed run, SURVEY §5). When set, the full sampler state is
+    # saved at every segment boundary and restored on the next run().
+    checkpoint_file: str = ""
 
     def resolved_dtype(self):
         if self.dtype is not None:
@@ -177,6 +182,17 @@ class SamplerPT:
         ptype = config.proposal_type
         if ptype == "parametric_mixture":
             # legacy alias used by reference example configs
+            ptype = "gaussian_mixture"
+        if ptype == "gaussian_mixture_fit_in_r":
+            # the reference shells out to an R fitting service per adaptation
+            # (reference: ProposalGaussianMixtureFitInR.cpp:60-135,
+            # R/fit_proposal.r); the native batched EM fit replaces the
+            # out-of-process round trip — same mixture family, no Rscript
+            # process boundary
+            logger.info(
+                "gaussian_mixture_fit_in_r: using the in-process batched "
+                "EM fit (replaces the reference's Rscript round trip)"
+            )
             ptype = "gaussian_mixture"
         if ptype not in (
             "gaussian_mixture",
@@ -934,13 +950,47 @@ class SamplerPT:
         """
         cfg = self.config
         t_start = time.time()
-        state = self._init_state()
-        proposals = tuple(self.proposals)
+
+        emitted = 0
+        if cfg.checkpoint_file and os.path.exists(cfg.checkpoint_file):
+            emitted = self._restore_checkpoint(cfg.checkpoint_file)
+            state = self._restored_state
+            proposals = tuple(self.proposals)
+            logger.info(
+                "Resumed from checkpoint %s at %d emitted samples",
+                cfg.checkpoint_file,
+                emitted,
+            )
+            for handler in self.sample_handlers:
+                if hasattr(handler, "set_position"):
+                    handler.set_position(emitted * self.num_ensembles)
+        else:
+            state = self._init_state()
+            proposals = tuple(self.proposals)
 
         all_x, all_lprior, all_llh = [], [], []
-        emitted = 0
         adaptation_records = []
         while emitted < cfg.num_samples:
+            # adaptation due at this point? (placed at the loop top so a
+            # resume from a segment-boundary checkpoint adapts exactly like
+            # the uninterrupted run)
+            if cfg.adapt_proposal_samples > 0:
+                pending = min(
+                    emitted // cfg.adapt_proposal_samples,
+                    cfg.adapt_proposal_times,
+                )
+                while self.adaptations_done < pending:
+                    self._log_statistics(state)
+                    logger.info("Updating proposal...")
+                    state, record = self._adapt_proposals(state)
+                    adaptation_records.append(record)
+                    proposals = tuple(self.proposals)
+                    self.adaptations_done += 1
+                    if cfg.checkpoint_file:
+                        self._save_checkpoint(
+                            cfg.checkpoint_file, state, emitted
+                        )
+
             if (
                 cfg.adapt_proposal_samples > 0
                 and self.adaptations_done < cfg.adapt_proposal_times
@@ -987,18 +1037,8 @@ class SamplerPT:
             for handler in self.sample_handlers:
                 handler.receive_samples(xs, lps, lls, self.ladder)
 
-            if (
-                cfg.adapt_proposal_samples > 0
-                and emitted % cfg.adapt_proposal_samples == 0
-                and emitted != cfg.num_samples
-                and self.adaptations_done < cfg.adapt_proposal_times
-            ):
-                self._log_statistics(state)
-                logger.info("Updating proposal...")
-                state, record = self._adapt_proposals(state)
-                adaptation_records.append(record)
-                proposals = tuple(self.proposals)
-                self.adaptations_done += 1
+            if cfg.checkpoint_file:
+                self._save_checkpoint(cfg.checkpoint_file, state, emitted)
 
         elapsed = time.time() - t_start
         self.total_evaluations = int(np.asarray(state.att_mut).sum())
@@ -1011,6 +1051,11 @@ class SamplerPT:
         )
         self._log_statistics(state)
 
+        if not all_x:  # resumed from a checkpoint of a finished run
+            C = self.ladder_size
+            all_x = [np.zeros((0, C, self.num_variables))]
+            all_lprior = [np.zeros((0, C))]
+            all_llh = [np.zeros((0, C))]
         return {
             "samples": np.concatenate(all_x, axis=0),
             "log_prior": np.concatenate(all_lprior, axis=0),
@@ -1027,6 +1072,36 @@ class SamplerPT:
             "evals_per_second": evals_per_sec,
             "adaptation_records": adaptation_records,
         }
+
+    def _save_checkpoint(self, path: str, state: PTState, emitted: int):
+        from bcm3_tpu.io.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path,
+            state,
+            self.proposals,
+            self.blocks,
+            emitted,
+            self.adaptations_done,
+            self.adaptation_iteration,
+            assigner=self._assigner,
+            extra={"host_rng": self._host_rng.bit_generator.state},
+        )
+
+    def _restore_checkpoint(self, path: str) -> int:
+        from bcm3_tpu.io.checkpoint import load_checkpoint
+
+        payload = load_checkpoint(path)
+        self._restored_state = payload["state"]
+        self.proposals = list(payload["proposals"])
+        self.blocks = [np.asarray(b) for b in payload["blocks"]]
+        self.adaptations_done = payload["adaptations_done"]
+        self.adaptation_iteration = payload["adaptation_iteration"]
+        self._assigner = payload["assigner"]
+        host_rng_state = payload["extra"].get("host_rng")
+        if host_rng_state is not None:
+            self._host_rng.bit_generator.state = host_rng_state
+        return payload["emitted"]
 
     def _pool_ensembles(self, arr: np.ndarray) -> np.ndarray:
         """(S, E*C, ...) -> (S*E, C, ...): pool replica samples per
