@@ -101,6 +101,12 @@ class PTConfig:
     # resume a crashed run, SURVEY §5). When set, the full sampler state is
     # saved at every segment boundary and restored on the next run().
     checkpoint_file: str = ""
+    # TPU-native extension: shard the chain population over all available
+    # devices (jax.sharding.Mesh over the chain axis). Replica-exchange
+    # permutations lower to collective permutes over ICI. Requires the
+    # total chain count (num_chains * num_ensembles) to be divisible by
+    # the device count.
+    shard_over_devices: bool = False
 
     def resolved_dtype(self):
         if self.dtype is not None:
@@ -968,6 +974,25 @@ class SamplerPT:
             state = self._init_state()
             proposals = tuple(self.proposals)
 
+        if cfg.shard_over_devices and len(jax.devices()) > 1:
+            from bcm3_tpu.parallel.mesh import chain_mesh, shard_leading_axis
+
+            n_dev = len(jax.devices())
+            if self.num_chains % n_dev != 0:
+                raise ValueError(
+                    f"Chain population {self.num_chains} must be divisible "
+                    f"by the device count {n_dev} for sharded execution"
+                )
+            self._mesh = chain_mesh()
+            state = shard_leading_axis(state, self._mesh, self.num_chains)
+            proposals = tuple(
+                shard_leading_axis(p, self._mesh, self.num_chains)
+                for p in proposals
+            )
+            logger.info(
+                "Chain population sharded over %d devices", n_dev
+            )
+
         all_x, all_lprior, all_llh = [], [], []
         adaptation_records = []
         while emitted < cfg.num_samples:
@@ -985,6 +1010,15 @@ class SamplerPT:
                     state, record = self._adapt_proposals(state)
                     adaptation_records.append(record)
                     proposals = tuple(self.proposals)
+                    if getattr(self, "_mesh", None) is not None:
+                        from bcm3_tpu.parallel.mesh import shard_leading_axis
+
+                        proposals = tuple(
+                            shard_leading_axis(
+                                p, self._mesh, self.num_chains
+                            )
+                            for p in proposals
+                        )
                     self.adaptations_done += 1
                     if cfg.checkpoint_file:
                         self._save_checkpoint(
