@@ -107,6 +107,10 @@ class PTConfig:
     # total chain count (num_chains * num_ensembles) to be divisible by
     # the device count.
     shard_over_devices: bool = False
+    # TPU-native extension: when set, the run is captured with the JAX
+    # profiler (TensorBoard trace) — the deep-profiling story the
+    # reference's wall-clock-only Timer lacks (SURVEY §5).
+    profile_dir: str = ""
 
     def resolved_dtype(self):
         if self.dtype is not None:
@@ -954,6 +958,19 @@ class SamplerPT:
         Returns a dict with samples (S, C, D), log_prior (S, C),
         log_likelihood (S, C), temperatures and acceptance statistics.
         """
+        cfg = self.config
+        if cfg.profile_dir:
+            import contextlib
+
+            profile_cm = jax.profiler.trace(cfg.profile_dir)
+        else:
+            import contextlib
+
+            profile_cm = contextlib.nullcontext()
+        with profile_cm:
+            return self._run_impl()
+
+    def _run_impl(self):
         cfg = self.config
         t_start = time.time()
 

@@ -23,7 +23,7 @@ NUM_PATIENTS = 16
 NUM_TIMEPOINTS = 24
 NUM_CHAINS = 8
 # independent PT replicas batched on device — the TPU-native throughput lever
-NUM_ENSEMBLES = 1024
+NUM_ENSEMBLES = int(os.environ.get("BENCH_ENSEMBLES", "1024"))
 
 
 def build_sampler(num_samples, adapt_times, seed):
