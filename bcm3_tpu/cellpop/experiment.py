@@ -475,49 +475,90 @@ class Experiment:
         )
 
         N = self.max_cells
-        # initial cells gather Sobol rows 0..C0-1 (slot == Sobol index)
-        slot_rows = jnp.clip(jnp.arange(N), 0, cell_params_tab.shape[0] - 1)
+        # initial cells gather Sobol rows 0..C0-1 (slot == Sobol index for
+        # initial cells, CellPopulation.cpp:79); daughters gather their own
+        # Sobol rows inside the simulator
+        slot_rows = jnp.clip(jnp.arange(N), 0, y0_tab.shape[0] - 1)
         init_y = y0_tab[slot_rows]
-        cell_params = cell_params_tab[slot_rows]
-        # children gather their own Sobol rows in simulate_population via
-        # sobol_index; since child params depend on the traced topology we
-        # pass the FULL table and gather inside... the simulator takes
-        # per-slot arrays, so approximate: children inherit the parent
-        # slot's child-variability row. The Sobol row of a child is
-        # deterministic given the tree; for capacity-sized tables we
-        # gather by the static slot-order index.
-        child_params = child_params_tab[
-            jnp.clip(jnp.arange(N), 0, child_params_tab.shape[0] - 1)
-        ]
         const_y = jnp.broadcast_to(
             jnp.asarray(self.model.initial_constant_values()),
             (N, self.model.num_constant_species),
         )
         creation = self._entry_times(tv, nsp)
+
+        # daughter initial-condition variability applied to the inherited
+        # division state (is_initial_cell=False variables only)
+        child_ic_fn = self._make_child_ic_fn(tv, nsp)
+
         result = simulate_population(
             self.pop_config,
             self._rhs,
             init_y,
             const_y,
-            cell_params,
-            child_params,
+            cell_params_tab,
+            child_params_tab,
             creation,
             jnp.asarray(self.grid),
             target_time=self.end_time,
+            child_ic_fn=child_ic_fn,
         )
         return result
+
+    def _make_child_ic_fn(self, tv, nsp):
+        """(y, sobol_ix) -> y with daughter-cell initial-condition
+        variability applied (reference: Cell.cpp Initialize:150-177 with
+        is_initial_cell=false)."""
+        specs = []
+        dim0 = 0
+        for vd in self.variabilities:
+            for d, var in enumerate(vd.variables):
+                if (
+                    var.species_name
+                    and not var.only_initial_cells
+                    and var.species_name in self.model.ode_species
+                ):
+                    specs.append((vd, dim0, d,
+                                  self.model.ode_species.index(var.species_name)))
+            dim0 += vd.num_dimensions
+        if not specs:
+            return None
+        un = jnp.asarray(self.sobol_normals)
+
+        def child_ic(y, sobol_ix):
+            for vd, d0, d, six in specs:
+                u_row = un[sobol_ix, d0 : d0 + vd.num_dimensions]
+                vec = vd.pseudorandom_vector(u_row, tv, nsp)
+                v = vec[d]
+                var = vd.variables[d]
+                if var.negate:
+                    v = -v
+                y = y.at[six].set(var.apply(y[six], v))
+            return y
+
+        return child_ic
 
     def _read_species(self, result, target: dl_mod.SpeciesTarget, times, sync_ev):
         """(T, N) values of one species target at experiment times."""
         n_ode = self.model.num_ode_species
+        grid = jnp.asarray(self.grid)
+        treat_by_cix = {cix: traj for cix, traj in self.treatments}
         cols = []
         for ix in target.sim_indices:
             if ix < n_ode:
                 cols.append(result.traj[:, :, ix])  # (N, G)
+            elif (ix - n_ode) in treat_by_cix:
+                # treatment species: evaluate the trajectory on each cell's
+                # grid (reference: Experiment.cpp:337-343 reads
+                # GetConcentration at the output time)
+                traj_fn = treat_by_cix[ix - n_ode]
+                vals = jax.vmap(
+                    lambda c: jax.vmap(
+                        lambda t: traj_fn.concentration(t, c)
+                    )(grid)
+                )(result.creation)  # (N, G)
+                cols.append(vals)
             else:
                 cix = ix - n_ode
-                # constant species: constant in time (treatment species
-                # handled via the trajectory functions in data reads)
                 const_val = jnp.asarray(
                     self.model.initial_constant_values()[cix]
                 )
@@ -525,7 +566,6 @@ class Experiment:
                     jnp.broadcast_to(const_val, result.traj.shape[:2])
                 )
         species_traj = sum(cols)  # (N, G)
-        grid = jnp.asarray(self.grid)
 
         def read_cell(traj_row, creation, end_t, events):
             def read_time(t):

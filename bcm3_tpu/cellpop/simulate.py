@@ -163,19 +163,22 @@ def simulate_population(
     rhs: Callable,  # f(t_cell, y, (cell_params, const_y, creation)) -> dydt
     initial_y: jax.Array,  # (N, n) initial states for INITIAL cells
     const_y: jax.Array,  # (N, nc)
-    cell_params: jax.Array,  # (N, V) per-slot variability-applied params
-    child_params: jax.Array,  # (N, V) params a slot would use as a CHILD
+    cell_params: jax.Array,  # (M, V) Sobol table: initial-cell params
+    child_params: jax.Array,  # (M, V) Sobol table: daughter-cell params
     creation0: jax.Array,  # (N,) creation times (used for initial slots)
     grid: jax.Array,  # (G,) shared cell-time grid starting at 0
     target_time=None,  # global simulation end; default grid span
+    child_ic_fn: Optional[Callable] = None,  # (y, sobol_ix) -> y
 ) -> PopulationResult:
     """Run the fixed-capacity population simulation.
 
-    ``cell_params``/``child_params`` are precomputed per SLOT: the
-    variability values depend only on the slot's Sobol index, which is a
-    deterministic function of the slot topology, so they can be gathered
-    ahead of time. ``child_params`` is used when the slot is filled by a
-    daughter cell (is_initial_cell=False variability set).
+    ``cell_params``/``child_params`` are Sobol-indexed tables (row i =
+    the variability-applied parameter vector for Sobol index i); each
+    slot gathers its row by its Sobol index — exactly the reference's
+    per-cell pseudorandom bookkeeping (CellPopulation.cpp:55-83).
+    ``child_ic_fn`` applies daughter-cell initial-condition variability
+    to the inherited division state (Cell.cpp Initialize:150-177 with
+    is_initial_cell=false).
     """
     N = cfg.capacity
     G = grid.shape[0]
@@ -243,9 +246,11 @@ def simulate_population(
     ok = jnp.asarray(True)
     n_active = jnp.asarray(C0, dtype=jnp.int32)
 
+    M = cell_params.shape[0]
     for _round in range(cfg.max_generations + 1):
+        rows = jnp.clip(sobol_index, 0, M - 1)
         params_round = jnp.where(
-            is_initial[:, None], cell_params, child_params
+            is_initial[:, None], cell_params[rows], child_params[rows]
         )
         ys, solve_ok = jax.vmap(integrate_one)(
             y_start, params_round, const_y, creation
@@ -314,6 +319,18 @@ def simulate_population(
         y_div = jax.vmap(state_at)(ys, jnp.where(jnp.isnan(div_t), 0.0, div_t))
         for six, val in cfg.division_reset_idx:
             y_div = y_div.at[:, six].set(val)
+        if child_ic_fn is not None:
+            # daughter initial-condition variability, gathered by the
+            # CHILD's Sobol index (two daughters differ)
+            y_div0 = jax.vmap(child_ic_fn)(
+                y_div, jnp.clip(child_sobol0, 0, M - 1)
+            )
+            y_div1 = jax.vmap(child_ic_fn)(
+                y_div, jnp.clip(child_sobol1, 0, M - 1)
+            )
+        else:
+            y_div0 = y_div
+            y_div1 = y_div
 
         parent_ids = jnp.arange(N, dtype=jnp.int32)
         child_creation = creation + jnp.where(jnp.isnan(div_t), 0.0, div_t)
@@ -328,11 +345,11 @@ def simulate_population(
 
         y_start = scatter(
             jnp.concatenate([y_start, jnp.zeros((1, n), dtype=dtype)]),
-            slot0, y_div,
+            slot0, y_div0,
         )[:N]
         y_start = scatter(
             jnp.concatenate([y_start, jnp.zeros((1, n), dtype=dtype)]),
-            slot1, y_div,
+            slot1, y_div1,
         )[:N]
         creation = scatter(
             jnp.concatenate([creation, jnp.zeros((1,), dtype=dtype)]),
