@@ -10,10 +10,15 @@ data parts mapping activities to measurements via optional base/scale
 parameters and normal / truncated-normal / student-t / truncated-t
 error models (ParseDataPartBase:243-330, EvaluateCellLine:60-200).
 
-The reference's drug-range and Incucyte-sequential experiment variants
-(fISAExperimentDrugRange.cpp, fISAExperimentIncucyteSequential.cpp)
-build on the same network core; drug-range support is expressed by
-sweeping the drug species' preset activity.
+The Incucyte-sequential experiment variant
+(fISAExperimentIncucyteSequential.cpp:24-341) is implemented as
+`FISAExperimentIncucyteSequential`: per-(cell line, drug concentration)
+steady-state solves with the drug node preset to each concentration and a
+3-component bivariate-t mixture data likelihood on the
+(proliferation, apoptosis) pair, optionally relative to a stored
+single-condition experiment's proliferation. The reference's drug-range
+variant (fISAExperimentDrugRange.cpp) is compiled out upstream
+(`#if TODO`, dead code) and is intentionally not reproduced.
 """
 
 from __future__ import annotations
@@ -101,6 +106,7 @@ class FISAExperiment:
             data_file = os.path.join(base_dir, data_file)
         import h5py
 
+        self.base_dir = base_dir
         self.conditions: List[Condition] = []
         self.expression_levels: List[ExpressionLevel] = []
         self.data_parts: List[DataPart] = []
@@ -111,6 +117,7 @@ class FISAExperiment:
                 c.decode() if isinstance(c, bytes) else str(c) for c in cl
             ]
             P = len(self.cell_lines)
+            self._parse_type_specific(node, g)
 
             for cnode in node:
                 if cnode.tag in ("condition", "mutation"):
@@ -147,7 +154,14 @@ class FISAExperiment:
                         el.scale_ix = varset.index_of(scale_name)
                     self.expression_levels.append(el)
                 elif cnode.tag == "data":
-                    self.data_parts.append(self._parse_data(cnode, g, P))
+                    self._parse_data_node(cnode, g, P)
+
+    def _parse_type_specific(self, node, g):
+        """Hook for experiment-type-specific XML nodes
+        (reference: fISAExperiment::LoadTypeSpecificNodes)."""
+
+    def _parse_data_node(self, cnode, g, P):
+        self.data_parts.append(self._parse_data(cnode, g, P))
 
     @staticmethod
     def _read_2d(g, data_name: str, P: int) -> np.ndarray:
@@ -241,6 +255,16 @@ class FISAExperiment:
 
     def log_prob(self, tv):
         """Experiment logp over all cell lines (vmapped solves)."""
+        logp, _ = self.log_prob_and_activities(tv, {})
+        return logp
+
+    def log_prob_and_activities(self, tv, stored):
+        """Logp plus per-cell-line steady-state activities (P, n_molecules).
+
+        The activities are this experiment's `stored_activities`
+        (reference: fISAExperimentSingleCondition.cpp:424) which
+        later-defined relative experiments read.
+        """
         P = len(self.cell_lines)
 
         def cell_line_logp(cell_ix):
@@ -282,9 +306,206 @@ class FISAExperiment:
                 logp = logp + d.weight * jnp.sum(
                     jnp.where(jnp.isnan(obs), 0.0, pw)
                 )
-            return logp
+            return logp, activities
 
-        return jnp.sum(jax.vmap(cell_line_logp)(jnp.arange(P)))
+        logps, acts = jax.vmap(cell_line_logp)(jnp.arange(P))
+        return jnp.sum(logps), acts
+
+    # -- model accessors (reference: bcmrbridge interface_fISA.cpp:40-192) --
+
+    def observed_data(self, data_ix: int) -> np.ndarray:
+        """(n_replicates, n_cell_lines) observed matrix for one data part."""
+        return np.asarray(self.data_parts[data_ix].data)
+
+    def modeled_activities(self, tv) -> jnp.ndarray:
+        """(n_cell_lines, n_molecules) steady-state activities.
+
+        Pure recomputation replaces the reference's per-thread stored
+        state (fISAExperimentSingleCondition.cpp:87)."""
+        _, acts = self.log_prob_and_activities(jnp.asarray(tv), {})
+        return acts
+
+    def modeled_data(self, tv, data_ix: int) -> jnp.ndarray:
+        """(n_cell_lines,) modeled values for one data part after
+        base/scale/inactive-form adjustments."""
+        tv = jnp.asarray(tv)
+        acts = self.modeled_activities(tv)
+        d = self.data_parts[data_ix]
+        z = acts[:, d.model_ix]
+        P = len(self.cell_lines)
+        if d.data_is_inactive_form:
+            me = jax.vmap(
+                lambda ci: self.network.max_expression(
+                    d.model_ix, self._prepare(tv, ci)[1], tv
+                )
+            )(jnp.arange(P))
+            z = me - z
+        if d.expression_ix is not None:
+            expr = jax.vmap(lambda ci: self._prepare(tv, ci)[1])(
+                jnp.arange(P)
+            )
+            z = z * expr[:, d.expression_ix]
+        if d.use_scale and d.scale_ix is not None:
+            z = z * tv[d.scale_ix]
+        if d.use_base:
+            z = z + (tv[d.base_ix] if d.base_ix is not None else d.fixed_base)
+        return z
+
+
+class FISAExperimentIncucyteSequential(FISAExperiment):
+    """Drug-response experiment over a concentration range
+    (reference: fISAExperimentIncucyteSequential.cpp:24-341).
+
+    For every (cell line, drug concentration) pair the network is solved
+    with the drug node's activity preset to the concentration
+    (EvaluateCellLine:271), and the modeled (proliferation, apoptosis)
+    pair is scored against a per-pair 3-component bivariate Student-t
+    mixture whose parameters come from a tab-separated estimate file
+    (ParseDataNode:204-228, EvaluateCellLine:311-330). Pairs whose second
+    mixture mean is NaN are skipped (:312). With `type="relative"` the
+    proliferation is taken relative to a previously defined
+    single-condition experiment's stored activity (:279-282).
+
+    All (cell line × concentration) solves run as one vmapped batch —
+    the reference fans cell lines out over a thread pool
+    (StartEvaluateLogProbability:37-40) and loops concentrations serially.
+    """
+
+    def _parse_type_specific(self, node, g):
+        dr = node.find("drug_range")
+        if dr is None:
+            raise ValueError(
+                "incucyte_sequential experiment requires a <drug_range> node"
+            )
+        self.drug_species_name = dr.get("species_name")
+        self.drug_model_ix = self.network.molecule_ix_by_name(
+            self.drug_species_name
+        )
+        conc = dr.get("concentrations", "")
+        if conc:
+            self.drug_concentrations = np.asarray(
+                [float(x) for x in conc.replace(",", ";").split(";") if x],
+                dtype=np.float64,
+            )
+        else:
+            self.drug_concentrations = np.asarray(
+                g[dr.get("concentrations_data_name")], dtype=np.float64
+            )
+        self.prolif_ix = self.network.molecule_ix_by_name("proliferation")
+        self.apop_ix = self.network.molecule_ix_by_name("apoptosis")
+        self.relative_reference: Optional[str] = None
+
+    def _parse_data_node(self, cnode, g, P):
+        """Load the per-(cell line, concentration) bivariate-t mixture
+        table (reference ParseDataNode:204-228; the reference hardcodes
+        9 rows per cell line — generalized here to n_concentrations)."""
+        path = cnode.get("data_file_base")
+        if not os.path.isabs(path):
+            path = os.path.join(self.base_dir, path)
+        table = np.genfromtxt(path, delimiter="\t", dtype=np.float64)
+        if table.ndim == 1:
+            table = table[None, :]
+        C = len(self.drug_concentrations)
+        K = 3
+        self.mup = np.full((P, C, K), np.nan)
+        self.mua = np.full((P, C, K), np.nan)
+        self.invcov = np.zeros((P, C, K, 2, 2))
+        self.logncweight = np.full((P, C, K), -np.inf)
+        for i in range(P):
+            for ci in range(C):
+                row = table[i * C + ci]
+                for ki in range(K):
+                    self.mup[i, ci, ki] = row[ki * 5 + 0]
+                    self.mua[i, ci, ki] = row[ki * 5 + 1]
+                    cov = np.array(
+                        [
+                            [row[ki * 5 + 2], row[ki * 5 + 3]],
+                            [row[ki * 5 + 3], row[ki * 5 + 4]],
+                        ]
+                    )
+                    w = row[5 * K + ki]
+                    det = cov[0, 0] * cov[1, 1] - cov[0, 1] * cov[1, 0]
+                    if w > 0 and np.isfinite(det) and det > 0:
+                        self.invcov[i, ci, ki] = np.linalg.inv(cov)
+                        self.logncweight[i, ci, ki] = np.log(w) - np.log(
+                            2 * np.pi * np.sqrt(det)
+                        )
+        # skip pairs whose second component mean is NaN (reference :312)
+        self.pair_valid = ~(
+            np.isnan(self.mup[:, :, 1]) | np.isnan(self.mua[:, :, 1])
+        )
+        if cnode.get("type", "") == "relative":
+            self.relative_reference = cnode.get("relative_reference")
+
+    def log_prob_and_activities(self, tv, stored):
+        P = len(self.cell_lines)
+        C = len(self.drug_concentrations)
+        concs = jnp.asarray(self.drug_concentrations)
+        ref_prolif = None
+        if self.relative_reference is not None:
+            if self.relative_reference not in stored:
+                raise ValueError(
+                    f"Relative experiment '{self.relative_reference}' must "
+                    "be defined before this one and be single-condition"
+                )
+            ref_prolif = stored[self.relative_reference][:, self.prolif_ix]
+
+        def solve_one(cell_ix, dci):
+            preset, expression = self._prepare(tv, cell_ix)
+            preset = preset.at[self.drug_model_ix].set(concs[dci])
+            return self.network.calculate(tv, expression, preset)
+
+        acts = jax.vmap(
+            lambda ci: jax.vmap(lambda dci: solve_one(ci, dci))(
+                jnp.arange(C)
+            )
+        )(jnp.arange(P))  # (P, C, n_molecules)
+
+        prolif = acts[:, :, self.prolif_ix]
+        apop = acts[:, :, self.apop_ix]
+        if ref_prolif is not None:
+            prolif = prolif - ref_prolif[:, None]
+
+        tx = prolif[:, :, None] - jnp.asarray(self.mup)  # (P, C, K)
+        ta = apop[:, :, None] - jnp.asarray(self.mua)
+        iv = jnp.asarray(self.invcov)
+        q = (
+            iv[..., 0, 0] * tx * tx
+            + iv[..., 1, 1] * ta * ta
+            + (iv[..., 0, 1] + iv[..., 1, 0]) * tx * ta
+        )
+        # bivariate t(nu=3): lognc_k - (nu+2)/2 * log1p(q/nu)
+        kp = jnp.asarray(self.logncweight) - 2.5 * jnp.log1p(q / 3.0)
+        kp = jnp.where(jnp.isnan(kp), -jnp.inf, kp)
+        pair_lp = jax.scipy.special.logsumexp(kp, axis=-1)  # (P, C)
+        logp = jnp.sum(jnp.where(jnp.asarray(self.pair_valid), pair_lp, 0.0))
+        # stored activities = lowest-concentration solve (reference
+        # GetModeledActivities:87-93 reports activities[ci][0])
+        return logp, acts[:, 0, :]
+
+    # -- model accessors (reference interface & GetObserved/ModeledData) --
+
+    def observed_data(self, data_ix: int) -> np.ndarray:
+        """(n_cell_lines, 1): first-component mean of proliferation
+        (even data_ix) or apoptosis (odd) at concentration data_ix//2
+        (reference GetObservedData:61-72)."""
+        dci = data_ix // 2
+        src = self.mup if data_ix % 2 == 0 else self.mua
+        return src[:, dci, 0][:, None]
+
+    def modeled_data(self, tv, data_ix: int) -> jnp.ndarray:
+        tv = jnp.asarray(tv)
+        P = len(self.cell_lines)
+        concs = jnp.asarray(self.drug_concentrations)
+        dci = data_ix // 2
+        mix = self.prolif_ix if data_ix % 2 == 0 else self.apop_ix
+
+        def solve_one(cell_ix):
+            preset, expression = self._prepare(tv, cell_ix)
+            preset = preset.at[self.drug_model_ix].set(concs[dci])
+            return self.network.calculate(tv, expression, preset)[mix]
+
+        return jax.vmap(solve_one)(jnp.arange(P))
 
 
 class FISALikelihood:
@@ -306,8 +527,11 @@ class FISALikelihood:
     def log_prob(self, values):
         tv = self._transform(values)
         logp = jnp.zeros((), dtype=values.dtype)
+        stored = {}
         for exp in self.experiments:
-            logp = logp + exp.log_prob(tv)
+            lp, acts = exp.log_prob_and_activities(tv, stored)
+            stored[exp.name] = acts
+            logp = logp + lp
         return jnp.where(jnp.isnan(logp), -jnp.inf, logp)
 
 
@@ -317,10 +541,18 @@ def create_fisa_likelihood(varset: VariableSet, attrs):
         raise ValueError("fISA likelihood requires an XML definition")
     xml_path = attrs.get("_xml_path")
     base_dir = os.path.dirname(xml_path) if xml_path else "."
-    experiments = [
-        FISAExperiment(node, varset, base_dir)
-        for node in root.findall("experiment")
-    ]
+    experiment_types = {
+        "single_condition": FISAExperiment,
+        "incucyte_sequential": FISAExperimentIncucyteSequential,
+    }
+    experiments = []
+    for node in root.findall("experiment"):
+        etype = node.get("type", "single_condition")
+        if etype not in experiment_types:
+            # drug_range is dead code upstream (#if TODO); anything else
+            # matches the reference's "Unknown experiment type" error
+            raise ValueError(f"Unknown experiment type '{etype}'")
+        experiments.append(experiment_types[etype](node, varset, base_dir))
     if not experiments:
         raise ValueError("fISA likelihood requires at least one experiment")
     return FISALikelihood(experiments, varset)

@@ -189,3 +189,214 @@ def test_fisa_likelihood_end_to_end(tmp_path):
     out = np.asarray(jax.jit(jax.vmap(lik.log_prob))(batch))
     assert np.isfinite(out).all()
     np.testing.assert_allclose(out[0], lp_truth, rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# incucyte_sequential experiments
+# (reference: fISAExperimentIncucyteSequential.cpp)
+# ---------------------------------------------------------------------------
+
+INCUCYTE_MODEL = f"""<?xml version="1.0"?>
+<sbml xmlns="{SBML_NS}" level="2" version="4"><model id="net">
+<listOfSpecies>
+{_species("s1", "EGFR", "PROTEIN")}
+{_species("s2", "ERK", "PROTEIN")}
+{_species("s3", "proliferation", "PHENOTYPE")}
+{_species("s4", "apoptosis", "PHENOTYPE")}
+{_species("s5", "drugX", "DRUG", "inhibit activity")}
+</listOfSpecies>
+<listOfReactions>
+{_reaction("r1", "s1", "s2")}
+{_reaction("r2", "s2", "s3")}
+{_reaction("r3", "s2", "s4", positive=False)}
+{_reaction("r4", "s5", "s2", positive=False)}
+</listOfReactions>
+</model></sbml>
+"""
+
+
+def _incucyte_varset():
+    vs = VariableSet()
+    for name in (
+        "base_EGFR",
+        "base_apoptosis",
+        "strength_EGFR_ERK",
+        "strength_ERK_proliferation",
+        "strength_ERK_apoptosis",
+        "maxinhib_drugX_ERK",
+    ):
+        vs.add_variable(name)
+    return vs
+
+
+def _expected_prolif_apop(tv, egfr, conc):
+    """Analytic steady state of the INCUCYTE_MODEL chain."""
+    b_eg, b_ap, s_ee, s_ep, s_ea, mi = tv
+    erk = np.clip(s_ee * egfr, 0, 1)
+    drug_signal = 1.0 - conc * mi
+    prolif = np.clip(s_ep * erk * drug_signal, 0, 1)
+    apop = np.clip(b_ap - s_ea * erk * drug_signal, 0, 1)
+    return prolif, apop
+
+
+def _write_incucyte_setup(tmp_path, relative=False):
+    import h5py
+
+    (tmp_path / "inet.xml").write_text(INCUCYTE_MODEL)
+    cell_lines = ["c1", "c2"]
+    egfr = np.array([0.5, 0.9])
+    concs = np.array([0.0, 0.4, 0.8])
+    tv = np.array([0.6, 0.9, 0.9, 0.8, 0.7, 0.6])
+
+    with h5py.File(tmp_path / "idata.nc", "w") as f:
+        for name in ("baseline", "incu"):
+            g = f.create_group(name)
+            g.create_dataset("cell_lines", data=np.array(cell_lines, dtype="S8"))
+            g.create_dataset("egfr_levels", data=egfr)
+
+    # mixture table: rows = cell_line * n_conc + conc; per row 3 components
+    # of (mup, mua, cov00, cov01, cov11) then 3 weights
+    rows = []
+    expected = np.zeros((2, 3, 2))
+    for i in range(2):
+        base_p = _expected_prolif_apop(tv, egfr[i], 0.0)[0] if relative else 0.0
+        for ci, c in enumerate(concs):
+            p, a = _expected_prolif_apop(tv, egfr[i], c)
+            expected[i, ci] = (p - base_p, a)
+            row = []
+            for ki, (dp, w) in enumerate([(0.0, 0.6), (0.05, 0.4), (0.0, 0.0)]):
+                row += [p - base_p + dp, a - dp, 0.01, 0.002, 0.01]
+            row += [0.6, 0.4, 0.0]
+            rows.append("\t".join(str(x) for x in row))
+    (tmp_path / "mix.tsv").write_text("\n".join(rows) + "\n")
+
+    rel_data = (
+        '<data data_file_base="mix.tsv" type="relative" '
+        'relative_reference="baseline"/>'
+        if relative
+        else '<data data_file_base="mix.tsv"/>'
+    )
+    baseline_exp = (
+        '<experiment name="baseline" model_file="inet.xml" data_file="idata.nc">'
+        '<condition species_name="EGFR" data_name="egfr_levels"/>'
+        "</experiment>"
+        if relative
+        else ""
+    )
+    (tmp_path / "ilik.xml").write_text(
+        '<bcm_likelihood type="fISA">'
+        f"{baseline_exp}"
+        '<experiment name="incu" type="incucyte_sequential" '
+        'model_file="inet.xml" data_file="idata.nc">'
+        '<drug_range species_name="drugX" concentrations="0.0;0.4;0.8"/>'
+        '<condition species_name="EGFR" data_name="egfr_levels"/>'
+        f"{rel_data}"
+        "</experiment>"
+        "</bcm_likelihood>"
+    )
+    return tv, expected
+
+
+def _bivariate_t_mixture_logp(x, y, row):
+    """Oracle for the reference's 3-component bivariate-t(nu=3) mixture
+    (EvaluateCellLine:311-330)."""
+    total = -np.inf
+    for ki in range(3):
+        mup, mua, c00, c01, c11 = row[ki * 5 : ki * 5 + 5]
+        w = row[15 + ki]
+        if w <= 0:
+            continue
+        cov = np.array([[c00, c01], [c01, c11]])
+        iv = np.linalg.inv(cov)
+        tx, ta = x - mup, y - mua
+        q = iv[0, 0] * tx * tx + iv[1, 1] * ta * ta + 2 * iv[0, 1] * tx * ta
+        kp = (
+            np.log(w)
+            - np.log(2 * np.pi * np.sqrt(np.linalg.det(cov)))
+            - 2.5 * np.log1p(q / 3.0)
+        )
+        total = np.logaddexp(total, kp)
+    return total
+
+
+def test_incucyte_sequential_oracle(tmp_path):
+    tv, expected = _write_incucyte_setup(tmp_path, relative=False)
+    vs = _incucyte_varset()
+    lik = create_likelihood(str(tmp_path / "ilik.xml"), vs)
+    lp = float(lik.log_prob(jnp.asarray(tv)))
+
+    rows = [
+        [float(x) for x in line.split("\t")]
+        for line in (tmp_path / "mix.tsv").read_text().strip().split("\n")
+    ]
+    want = 0.0
+    for i in range(2):
+        for ci in range(3):
+            p, a = expected[i, ci]
+            want += _bivariate_t_mixture_logp(p, a, rows[i * 3 + ci])
+    np.testing.assert_allclose(lp, want, rtol=1e-8)
+
+    # jittable / vmappable over chains
+    batch = jnp.stack([jnp.asarray(tv), jnp.asarray(tv) * 0.95])
+    out = np.asarray(jax.jit(jax.vmap(lik.log_prob))(batch))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[0], want, rtol=1e-8)
+
+
+def test_incucyte_sequential_relative(tmp_path):
+    """type="relative" subtracts the stored single-condition
+    proliferation (reference :279-282)."""
+    tv, expected = _write_incucyte_setup(tmp_path, relative=True)
+    vs = _incucyte_varset()
+    lik = create_likelihood(str(tmp_path / "ilik.xml"), vs)
+    assert len(lik.model.experiments) == 2
+    lp = float(lik.log_prob(jnp.asarray(tv)))
+
+    rows = [
+        [float(x) for x in line.split("\t")]
+        for line in (tmp_path / "mix.tsv").read_text().strip().split("\n")
+    ]
+    want = 0.0
+    for i in range(2):
+        for ci in range(3):
+            p, a = expected[i, ci]
+            want += _bivariate_t_mixture_logp(p, a, rows[i * 3 + ci])
+    np.testing.assert_allclose(lp, want, rtol=1e-8)
+
+
+def test_incucyte_sequential_nan_pair_skipped(tmp_path):
+    """Pairs with NaN second-component mean contribute zero
+    (reference :312)."""
+    tv, expected = _write_incucyte_setup(tmp_path, relative=False)
+    lines = (tmp_path / "mix.tsv").read_text().strip().split("\n")
+    rows = [[float(x) for x in line.split("\t")] for line in lines]
+    rows[0][5] = np.nan  # second component mup of (c1, conc 0)
+    (tmp_path / "mix.tsv").write_text(
+        "\n".join("\t".join(str(x) for x in r) for r in rows) + "\n"
+    )
+    vs = _incucyte_varset()
+    lik = create_likelihood(str(tmp_path / "ilik.xml"), vs)
+    lp = float(lik.log_prob(jnp.asarray(tv)))
+    want = 0.0
+    for i in range(2):
+        for ci in range(3):
+            if i == 0 and ci == 0:
+                continue
+            p, a = expected[i, ci]
+            want += _bivariate_t_mixture_logp(p, a, rows[i * 3 + ci])
+    np.testing.assert_allclose(lp, want, rtol=1e-8)
+
+
+def test_incucyte_observed_and_modeled_data(tmp_path):
+    tv, expected = _write_incucyte_setup(tmp_path, relative=False)
+    vs = _incucyte_varset()
+    lik = create_likelihood(str(tmp_path / "ilik.xml"), vs)
+    exp = lik.model.experiments[0]
+    # observed: first-component means
+    obs = exp.observed_data(2)  # prolif at concentration index 1
+    np.testing.assert_allclose(obs[:, 0], expected[:, 1, 0], rtol=1e-12)
+    obs_a = exp.observed_data(3)  # apoptosis at concentration index 1
+    np.testing.assert_allclose(obs_a[:, 0], expected[:, 1, 1], rtol=1e-12)
+    # modeled: recomputed steady-state values
+    mod = np.asarray(exp.modeled_data(jnp.asarray(tv), 2))
+    np.testing.assert_allclose(mod, expected[:, 1, 0], rtol=1e-8)
