@@ -65,3 +65,17 @@ def write_adaptation_dump(
                 b.add_matrix(group, f"cluster{k}_covariance", gmm.covariances[k])
             if history is not None and adaptation_iteration >= 1:
                 b.add_matrix(group, "history", history[:, np.asarray(block)])
+
+
+def load_bundle(filename: str) -> dict:
+    """Read a bundler file back as nested dicts of numpy arrays
+    (python-side equivalent of R/load.r's load.netcdf.bundler.data)."""
+
+    def walk(g):
+        out = {}
+        for k, v in g.items():
+            out[k] = walk(v) if isinstance(v, h5py.Group) else np.asarray(v)
+        return out
+
+    with h5py.File(filename, "r") as f:
+        return walk(f)
