@@ -107,6 +107,9 @@ class PTConfig:
     # total chain count (num_chains * num_ensembles) to be divisible by
     # the device count.
     shard_over_devices: bool = False
+    # Use only the first `mesh_devices` devices for the chain mesh
+    # (None = all). Lets scaling benchmarks sweep device counts.
+    mesh_devices: int | None = None
     # TPU-native extension: when set, the run is captured with the JAX
     # profiler (TensorBoard trace) — the deep-profiling story the
     # reference's wall-clock-only Timer lacks (SURVEY §5).
@@ -995,12 +998,14 @@ class SamplerPT:
             from bcm3_tpu.parallel.mesh import chain_mesh, shard_leading_axis
 
             n_dev = len(jax.devices())
+            if cfg.mesh_devices is not None:
+                n_dev = min(n_dev, cfg.mesh_devices)
             if self.num_chains % n_dev != 0:
                 raise ValueError(
                     f"Chain population {self.num_chains} must be divisible "
                     f"by the device count {n_dev} for sharded execution"
                 )
-            self._mesh = chain_mesh()
+            self._mesh = chain_mesh(n_dev)
             state = shard_leading_axis(state, self._mesh, self.num_chains)
             proposals = tuple(
                 shard_leading_axis(p, self._mesh, self.num_chains)
