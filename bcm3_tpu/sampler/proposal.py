@@ -34,7 +34,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.linalg import solve_triangular
+
 from jax.scipy.special import logsumexp
 
 # defaults from the reference Proposal constructor (Proposal.cpp:25-26);
@@ -64,6 +64,7 @@ def target_acceptance_rate(num_variables: int) -> float:
     data_fields=[
         "means",
         "chols",
+        "inv_chols",
         "log_weights",
         "log_c",
         "scales",
@@ -82,6 +83,10 @@ class BlockProposal:
 
     means: jax.Array  # (C, K, d)
     chols: jax.Array  # (C, K, d, d) lower
+    # chols^-1, precomputed on the host at adaptation time so Mahalanobis
+    # terms are matmuls on the MXU instead of batched triangular solves
+    # (trsm is sequential over d and maps poorly to the TPU vector unit)
+    inv_chols: jax.Array  # (C, K, d, d) lower
     log_weights: jax.Array  # (C, K), -inf on padding
     log_c: jax.Array  # (C, K) log MVN normalization constants
     scales: jax.Array  # (C, K) per-component adaptive scales
@@ -137,7 +142,7 @@ def _component_log_pdfs(prop: BlockProposal, x):
     prop fields here have shapes (K, d) / (K, d, d); x is (d,).
     """
     d = x - prop.means  # (K, d)
-    s = solve_triangular(prop.chols, d[..., None], lower=True)[..., 0]
+    s = jnp.einsum("kij,kj->ki", prop.inv_chols, d)
     return prop.log_c - 0.5 * jnp.sum(s * s, axis=-1)  # (K,)
 
 
@@ -222,7 +227,7 @@ def mh_log_ratio(prop: BlockProposal, x_block, new_block):
     log_rev_resp = responsibilities_log(prop, new_block)
 
     v = (new_block - x_block)[None, :] / prop.scales[:, None]  # (K, d)
-    s_fwd = solve_triangular(prop.chols, v[..., None], lower=True)[..., 0]
+    s_fwd = jnp.einsum("kij,kj->ki", prop.inv_chols, v)
     # the Gaussian is symmetric in v -> forward and reverse Mahalanobis terms
     # are identical; only the responsibilities differ
     quad = -0.5 * jnp.sum(s_fwd * s_fwd, axis=-1)
@@ -268,7 +273,7 @@ def mh_log_ratio_clustered(prop: BlockProposal, x_block, new_block, cur_cluster,
 
     def comp_logp(comp, v):
         vv = v / prop.scales[comp]
-        s = solve_triangular(prop.chols[comp], vv[:, None], lower=True)[:, 0]
+        s = prop.inv_chols[comp] @ vv
         return -2.0 * jnp.log(prop.scales[comp]) + prop.log_c[comp] - 0.5 * jnp.sum(s * s)
 
     diff = new_block - x_block
@@ -310,16 +315,23 @@ def build_block_proposal(
     d = block_dim
     means = np.zeros((num_chains, K, d))
     chols = np.tile(np.eye(d), (num_chains, K, 1, 1))
+    inv_chols = np.tile(np.eye(d), (num_chains, K, 1, 1))
     log_w = np.full((num_chains, K), -np.inf)
     log_c = np.zeros((num_chains, K))
     scales = np.full((num_chains, K), 2.38 / np.sqrt(d))
     ta = target_acceptance_rate(d)
     acc_ema = np.full((num_chains, K), ta)
 
+    from scipy.linalg import solve_triangular as _host_trsm
+
     for c, g in enumerate(gmms):
         k = g.num_components
         means[c, :k] = g.means
         chols[c, :k] = g.chols
+        for ki in range(k):
+            inv_chols[c, ki] = _host_trsm(
+                np.asarray(g.chols[ki]), np.eye(d), lower=True
+            )
         with np.errstate(divide="ignore"):
             log_w[c, :k] = np.log(g.weights)
         log_c[c, :k] = g.log_c
@@ -335,6 +347,7 @@ def build_block_proposal(
     return BlockProposal(
         means=jnp.asarray(means, dtype=dtype),
         chols=jnp.asarray(chols, dtype=dtype),
+        inv_chols=jnp.asarray(inv_chols, dtype=dtype),
         log_weights=jnp.asarray(log_w, dtype=dtype),
         log_c=jnp.asarray(log_c, dtype=dtype),
         scales=jnp.asarray(scales, dtype=dtype),

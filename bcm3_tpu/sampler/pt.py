@@ -110,6 +110,14 @@ class PTConfig:
     # Use only the first `mesh_devices` devices for the chain mesh
     # (None = all). Lets scaling benchmarks sweep device counts.
     mesh_devices: int | None = None
+    # Emitted samples are pulled to the host in chunks of this many
+    # emissions, overlapping device compute with device->host transfer;
+    # bounded pulls also avoid the sharp large-transfer slowdown of
+    # tunneled/remote devices. None = auto-size chunks to ~32 MB per
+    # pull; 0 = one monolithic pull per segment. Results are
+    # bit-identical for any chunk size; only the transfer schedule
+    # changes.
+    emit_chunk_size: int | None = None
     # TPU-native extension: when set, the run is captured with the JAX
     # profiler (TensorBoard trace) — the deep-profiling story the
     # reference's wall-clock-only Timer lacks (SURVEY §5).
@@ -1068,30 +1076,67 @@ class SamplerPT:
                 if with_assigner
                 else None,
             )
-            if seg_key not in self._segment_fns:
-                self._segment_fns[seg_key] = self._make_segment_fn(
-                    n_emit, with_assigner
+            # Chunked, compute-overlapped emission: the segment is split
+            # into emit chunks; while the device runs chunk k+1, the host
+            # materializes chunk k. Device->host pulls over slow links
+            # (tunneled TPUs) also degrade sharply for very large single
+            # transfers, so bounded chunks keep each pull in the link's
+            # fast regime. The iteration/RNG stream is identical to one
+            # monolithic segment (keys are threaded through the state), so
+            # results are bit-equal for any chunk size.
+            if cfg.emit_chunk_size is None:
+                # auto: ~32 MB per pull
+                bytes_per_emit = (
+                    self.num_chains
+                    * (self.num_variables + 2)
+                    * jnp.dtype(self.dtype).itemsize
                 )
-            if with_assigner:
-                state, proposals, ys = self._segment_fns[seg_key](
-                    state, proposals, self._assigner
-                )
+                chunk = max(1, (32 << 20) // max(bytes_per_emit, 1))
             else:
-                state, proposals, ys = self._segment_fns[seg_key](state, proposals)
+                chunk = cfg.emit_chunk_size if cfg.emit_chunk_size else n_emit
+            pending = None
 
-            xs, lps, lls = ys
-            xs, lps, lls = (
-                self._pool_ensembles(np.asarray(xs)),
-                self._pool_ensembles(np.asarray(lps)),
-                self._pool_ensembles(np.asarray(lls)),
-            )
-            all_x.append(xs)
-            all_lprior.append(lps)
-            all_llh.append(lls)
+            def _materialize(ys_dev):
+                xs, lps, lls = (
+                    self._pool_ensembles(np.asarray(ys_dev[0])),
+                    self._pool_ensembles(np.asarray(ys_dev[1])),
+                    self._pool_ensembles(np.asarray(ys_dev[2])),
+                )
+                all_x.append(xs)
+                all_lprior.append(lps)
+                all_llh.append(lls)
+                for handler in self.sample_handlers:
+                    handler.receive_samples(xs, lps, lls, self.ladder)
+
+            done = 0
+            while done < n_emit:
+                m = min(chunk, n_emit - done)
+                ck = seg_key[1:] + (m,)
+                if ck not in self._segment_fns:
+                    self._segment_fns[ck] = self._make_segment_fn(
+                        m, with_assigner
+                    )
+                if with_assigner:
+                    state, proposals, ys = self._segment_fns[ck](
+                        state, proposals, self._assigner
+                    )
+                else:
+                    state, proposals, ys = self._segment_fns[ck](
+                        state, proposals
+                    )
+                # start the device->host copy of this chunk without
+                # blocking, then drain the previous chunk while the next
+                # dispatch (or this copy) proceeds
+                for arr in ys:
+                    if hasattr(arr, "copy_to_host_async"):
+                        arr.copy_to_host_async()
+                if pending is not None:
+                    _materialize(pending)
+                pending = ys
+                done += m
+            if pending is not None:
+                _materialize(pending)
             emitted = stop
-
-            for handler in self.sample_handlers:
-                handler.receive_samples(xs, lps, lls, self.ladder)
 
             if cfg.checkpoint_file:
                 self._save_checkpoint(cfg.checkpoint_file, state, emitted)

@@ -22,8 +22,10 @@ import time
 NUM_PATIENTS = 16
 NUM_TIMEPOINTS = 24
 NUM_CHAINS = 8
-# independent PT replicas batched on device — the TPU-native throughput lever
-NUM_ENSEMBLES = int(os.environ.get("BENCH_ENSEMBLES", "1024"))
+# independent PT replicas batched on device — the TPU-native throughput
+# lever. 8192 replicas x 8 chains = 65536 concurrent chains saturates a
+# single v5e chip without exhausting HBM (32768 replicas OOMs).
+NUM_ENSEMBLES = int(os.environ.get("BENCH_ENSEMBLES", "8192"))
 
 
 def build_sampler(num_samples, adapt_times, seed):

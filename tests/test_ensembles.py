@@ -103,3 +103,36 @@ def test_ensemble_posterior_matches_single():
     # pooled ensembles give much tighter MC error than a single chain
     assert np.all(np.abs(m - m_exact) < np.array([0.15, 0.45])), (m, m_exact)
     assert np.all(np.abs(sd - sd_exact) / sd_exact < 0.10), (sd, sd_exact)
+
+
+def test_chunked_emission_bit_identical():
+    """emit_chunk_size only changes the transfer schedule
+    (pt.py chunked emission), never the sampled stream."""
+    import numpy as np
+
+    from bcm3_tpu.likelihoods import create_likelihood
+    from bcm3_tpu.model.prior import Prior
+    from bcm3_tpu.model.variables import VariableSet
+    from bcm3_tpu.sampler import PTConfig, SamplerPT
+
+    ref = "/root/reference/examples/banana"
+    vs = VariableSet.from_xml(f"{ref}/prior.xml")
+    prior = Prior.from_xml(f"{ref}/prior.xml", vs)
+    lik = create_likelihood(f"{ref}/likelihood.xml", vs)
+    common = dict(
+        num_samples=40,
+        use_every_nth=2,
+        num_chains=4,
+        num_ensembles=2,
+        adapt_proposal_samples=20,
+        adapt_proposal_times=1,
+        seed=5,
+    )
+    r_mono = SamplerPT(prior, lik, PTConfig(emit_chunk_size=0, **common)).run()
+    r_chunk = SamplerPT(prior, lik, PTConfig(emit_chunk_size=7, **common)).run()
+    r_auto = SamplerPT(prior, lik, PTConfig(emit_chunk_size=None, **common)).run()
+    np.testing.assert_array_equal(r_mono["samples"], r_chunk["samples"])
+    np.testing.assert_array_equal(r_mono["samples"], r_auto["samples"])
+    np.testing.assert_array_equal(
+        r_mono["log_likelihood"], r_chunk["log_likelihood"]
+    )
