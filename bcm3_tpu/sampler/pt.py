@@ -110,6 +110,12 @@ class PTConfig:
     # Use only the first `mesh_devices` devices for the chain mesh
     # (None = all). Lets scaling benchmarks sweep device counts.
     mesh_devices: int | None = None
+    # GMM adaptation fits: "host" = numpy EM (the reference-mirroring
+    # implementation), "device" = batched jitted EM over all
+    # (component count, retry) fits at once (stats/gmm_device.py),
+    # "auto" = device for high-dimensional targets where the host EM
+    # stalls the sampler, host otherwise.
+    gmm_fit_backend: str = "auto"
     # Emitted samples are pulled to the host in chunks of this many
     # emissions, overlapping device compute with device->host transfer;
     # bounded pulls also avoid the sharp large-transfer slowdown of
@@ -262,6 +268,21 @@ class SamplerPT:
             )
 
         self.proposals: List[BlockProposal] = self._initial_proposals(self.blocks)
+
+        # GMM adaptation backend (see PTConfig.gmm_fit_backend)
+        if config.gmm_fit_backend not in ("auto", "host", "device"):
+            raise ValueError(
+                f"Unknown gmm_fit_backend '{config.gmm_fit_backend}'"
+            )
+        use_device_gmm = config.gmm_fit_backend == "device" or (
+            config.gmm_fit_backend == "auto" and self.num_variables >= 8
+        )
+        if use_device_gmm:
+            from bcm3_tpu.stats.gmm_device import fit_gmm_best_aic_device
+
+            self._gmm_fitter = fit_gmm_best_aic_device
+        else:
+            self._gmm_fitter = fit_gmm_best_aic
 
         # RNG streams: device sampling key + host adaptation rng
         seed = config.seed if config.seed != 0 else int(time.time_ns() % (2**31))
@@ -857,7 +878,7 @@ class SamplerPT:
                 else:
                     gmm = None
                     if len(h) >= 2:
-                        gmm = fit_gmm_best_aic(
+                        gmm = self._gmm_fitter(
                             h,
                             self._host_rng,
                             select_with_adjusted_aic=select_adjusted,

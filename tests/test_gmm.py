@@ -82,3 +82,99 @@ def test_acf_and_ess():
     assert effective_sample_size(y) < 1500
     np.testing.assert_allclose(acf(y, 0), 1.0)
     assert acf(y, 1) > 0.9
+
+
+# ---------------------------------------------------------------------------
+# batched device EM (stats/gmm_device.py)
+
+
+def test_device_em_recovers_mixture():
+    """Device EM recovers a well-separated 2-component mixture and the
+    AIC selection picks k=2, matching the host path."""
+    import numpy as np
+
+    from bcm3_tpu.stats.gmm import fit_gmm_best_aic
+    from bcm3_tpu.stats.gmm_device import fit_gmm_best_aic_device
+
+    rng = np.random.default_rng(11)
+    a = rng.multivariate_normal([-4, -4], [[1, 0.5], [0.5, 1]], size=900)
+    b = rng.multivariate_normal([4, 4], [[1, -0.3], [-0.3, 0.8]], size=1100)
+    h = np.concatenate([a, b])
+    rng.shuffle(h)
+
+    g_dev = fit_gmm_best_aic_device(h, np.random.default_rng(1))
+    g_host = fit_gmm_best_aic(h, np.random.default_rng(1))
+    assert g_dev is not None and g_host is not None
+    assert g_dev.num_components == g_host.num_components == 2
+
+    order_d = np.argsort(g_dev.means[:, 0])
+    order_h = np.argsort(g_host.means[:, 0])
+    np.testing.assert_allclose(
+        g_dev.means[order_d], g_host.means[order_h], atol=0.15
+    )
+    np.testing.assert_allclose(
+        np.sort(g_dev.weights), np.sort(g_host.weights), atol=0.03
+    )
+    np.testing.assert_allclose(
+        g_dev.covariances[order_d], g_host.covariances[order_h], atol=0.3
+    )
+    # log-likelihoods of the two fits agree closely
+    np.testing.assert_allclose(g_dev.logl, g_host.logl, rtol=5e-3)
+
+
+def test_device_em_single_gaussian_matches_host():
+    """For a unimodal target both paths should select k=1, whose fit is
+    closed-form and therefore near-identical."""
+    import numpy as np
+
+    from bcm3_tpu.stats.gmm import fit_gmm_best_aic
+    from bcm3_tpu.stats.gmm_device import fit_gmm_best_aic_device
+
+    rng = np.random.default_rng(5)
+    h = rng.multivariate_normal([1.0, -2.0, 0.5], np.diag([1.0, 2.0, 0.5]), size=800)
+    g_dev = fit_gmm_best_aic_device(h, np.random.default_rng(2))
+    g_host = fit_gmm_best_aic(h, np.random.default_rng(2))
+    assert g_dev is not None and g_host is not None
+    assert g_dev.num_components == g_host.num_components == 1
+    np.testing.assert_allclose(g_dev.means, g_host.means, rtol=1e-10)
+    np.testing.assert_allclose(g_dev.covariances, g_host.covariances, rtol=1e-10)
+    np.testing.assert_allclose(g_dev.aic, g_host.aic, rtol=1e-10)
+
+
+def test_device_em_too_few_samples():
+    import numpy as np
+
+    from bcm3_tpu.stats.gmm_device import fit_gmm_best_aic_device
+
+    h = np.random.default_rng(0).normal(size=(1, 3))
+    assert fit_gmm_best_aic_device(h, np.random.default_rng(0)) is None
+
+
+def test_pt_sampling_with_device_gmm_backend():
+    """Full PT adaptation cycle through the device EM backend."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bcm3_tpu.likelihoods import create_likelihood
+    from bcm3_tpu.model.prior import Prior
+    from bcm3_tpu.model.variables import VariableSet
+    from bcm3_tpu.sampler import PTConfig, SamplerPT
+
+    ref = "/root/reference/examples/banana"
+    vs = VariableSet.from_xml(f"{ref}/prior.xml")
+    prior = Prior.from_xml(f"{ref}/prior.xml", vs)
+    lik = create_likelihood(f"{ref}/likelihood.xml", vs)
+    cfg = PTConfig(
+        num_samples=300,
+        use_every_nth=2,
+        num_chains=4,
+        adapt_proposal_samples=150,
+        adapt_proposal_times=1,
+        gmm_fit_backend="device",
+        seed=17,
+    )
+    res = SamplerPT(prior, lik, cfg).run()
+    s = np.asarray(res["samples"])[150:, -1, :]
+    assert np.isfinite(s).all()
+    # posterior mass stays in a sane banana region
+    assert abs(s[:, 0].mean()) < 2.5
