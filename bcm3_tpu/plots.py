@@ -229,6 +229,21 @@ def marginal_density(
     return ax
 
 
+def plot_variable_prior(prior: Prior, var_ix: int, ax=None):
+    """Standalone prior density plot
+    (reference: plot_variable_prior:116-128, plot_variable_prior_impl:489)."""
+    ax = _ax(ax)
+    lo = prior.lower[var_ix]
+    hi = prior.upper[var_ix]
+    smin = lo if np.isfinite(lo) else -1.0
+    smax = hi if np.isfinite(hi) else 1.0
+    px, py, _, _ = _prior_curve(prior, var_ix, smin, smax)
+    ax.plot(px, py, color=PRIOR_COLOR, lw=2)
+    ax.set_title(prior.varset.names[var_ix])
+    ax.set_ylabel("Probability density")
+    return ax
+
+
 def trace_plot(
     results,
     var_ix: int,
