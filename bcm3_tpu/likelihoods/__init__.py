@@ -31,6 +31,10 @@ class Likelihood:
     learning_rate: float = 1.0
     attrs: Dict[str, str] = field(default_factory=dict)
     model: Any = None  # backing model object (e.g. PopPKLikelihood)
+    # optional natively batched evaluation `xs (B, D) -> (B,)`; samplers
+    # use it instead of vmap(log_prob) when present (e.g. the PopPK
+    # Pallas interval kernel)
+    log_prob_batched: Any = None
 
 
 def parse_vector(s: str) -> np.ndarray:
@@ -253,6 +257,7 @@ def _pop_pk(varset: VariableSet, attrs) -> Likelihood:
     pk = create_poppk_likelihood(varset, attrs)
     lik = Likelihood("pop_pk_trajectory", pk.log_prob, attrs=attrs)
     lik.model = pk  # expose trajectories for predict/R-bridge equivalents
+    lik.log_prob_batched = pk.log_prob_batched  # Pallas interval kernel
     return lik
 
 

@@ -33,6 +33,7 @@ batch that fills the TPU:
 
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass
 from typing import Optional
@@ -601,6 +602,81 @@ class PopPKLikelihood:
         # (reference: LikelihoodPopPKTrajectory.cpp:416-424)
         window = jnp.asarray(self.window_mask)
         bad = jnp.any(jnp.where(window, jnp.isnan(x), False)) | jnp.isnan(logp)
+        return jnp.where(bad, -jnp.inf, logp)
+
+    def log_prob_batched(self, xs):
+        """Natively batched evaluation over a chain population xs (B, D).
+
+        For the one-compartment model the K-interval dosing recurrence can
+        run as one fused Pallas kernel with the carry held in VMEM
+        (bcm3_tpu/ops/poppk_pallas.py) instead of a lax.scan. Measured at
+        the benchmark shape (65k chains x 16 patients, K=29) the kernel
+        itself is at parity with XLA's fused scan — the recurrence carry
+        is only ~1 MB so the scan is not memory-bound — and the
+        surrounding interval-start lookup costs more than the fusion
+        saves, so the kernel path is OPT-IN (BCM3_POPPK_PALLAS=1); the
+        default is vmap(log_prob). The kernel stays as the tested
+        template for larger-state compartment models where the carry
+        does dominate. Results agree to float32 precision either way."""
+        from bcm3_tpu.ops import poppk_pallas
+
+        P = self.trial.num_patients
+        B = xs.shape[0]
+        if (
+            os.environ.get("BCM3_POPPK_PALLAS", "0") != "1"
+            or self.pk_type != "one"
+            or not poppk_pallas.eligible(P)
+            or (B * P) % 128 != 0
+        ):
+            return jax.vmap(self.log_prob)(xs)
+
+        p, sd, sd2 = jax.vmap(self._patient_params)(xs)
+        ka = p["ka"]  # (B, P)
+        ke = jnp.broadcast_to(p["ke"][:, None], ka.shape)
+        kel = p["kel"]  # (B, P)
+
+        ys_gut, ys_cen = poppk_pallas.propagate_intervals_one_compartment(
+            ka, ke, kel,
+            self.initial_dose,
+            np.asarray(self.trial.dosing_interval),
+            self.dose_amount,
+        )  # (K, B, P) each
+
+        # per-observation: state at its interval start, then exact
+        # propagation by the in-interval offset (mirrors _simulate_linear).
+        # The interval lookup is a one-hot contraction on the MXU — a
+        # per-element gather (take_along_axis) measures ~350 ms at
+        # 65k chains on TPU where this einsum is sub-millisecond.
+        onehot = jnp.asarray(
+            self.obs_interval[:, :, None] == np.arange(self.K)[None, None, :],
+            dtype=xs.dtype,
+        )  # (P, T, K)
+        # HIGHEST precision: the default bf16 MXU pass would round the
+        # states to ~3 decimal digits even though the one-hot is exact
+        gut_b = jnp.einsum(
+            "kbp,ptk->bpt", ys_gut, onehot, precision=jax.lax.Precision.HIGHEST
+        )
+        cen_b = jnp.einsum(
+            "kbp,ptk->bpt", ys_cen, onehot, precision=jax.lax.Precision.HIGHEST
+        )
+        y_base = jnp.stack([gut_b, cen_b], axis=-1)  # (B, P, T, 2)
+        obs_dt = jnp.asarray(self.obs_offset, dtype=xs.dtype)[None]
+        central = linear_pk.propagate_one_compartment(
+            y_base, obs_dt, ka[:, :, None], p["ke"][:, None, None],
+            kel[:, :, None],
+        )[..., 1]  # (B, P, T)
+
+        conversion = (self.conversion_base / p["vod"])[:, None, None]
+        x = central * conversion
+        obs = jnp.asarray(self.trial.observed, dtype=xs.dtype)[None]
+        mask = jnp.asarray(self.obs_mask)[None]
+        sigma = sd[:, None, None] + sd2[:, None, None] * jnp.maximum(x, 0.0)
+        pointwise = log_pdf_tnu4(x, obs, sigma)
+        logp = jnp.sum(jnp.where(mask, pointwise, 0.0), axis=(1, 2))
+        window = jnp.asarray(self.window_mask)[None]
+        bad = jnp.any(
+            jnp.where(window, jnp.isnan(x), False), axis=(1, 2)
+        ) | jnp.isnan(logp)
         return jnp.where(bad, -jnp.inf, logp)
 
     def simulate_trajectories(self, values):

@@ -363,7 +363,12 @@ class SamplerPT:
         (reference: LikelihoodPopPKTrajectory.cpp:400-424).
         """
         lprior = self.prior.log_pdf(x)
-        llh = jax.vmap(self.likelihood.log_prob)(x)
+        # likelihoods may provide a natively batched path (e.g. the PopPK
+        # Pallas interval kernel, bcm3_tpu/ops/poppk_pallas.py)
+        batched = getattr(self.likelihood, "log_prob_batched", None)
+        llh = batched(x) if batched is not None else jax.vmap(
+            self.likelihood.log_prob
+        )(x)
         if self.likelihood.learning_rate != 1.0:
             llh = llh * self.likelihood.learning_rate
         lprior = jnp.where(jnp.isnan(lprior), _NEG_INF, lprior)
