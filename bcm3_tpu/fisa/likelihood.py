@@ -394,6 +394,7 @@ class FISAExperimentIncucyteSequential(FISAExperiment):
         self.prolif_ix = self.network.molecule_ix_by_name("proliferation")
         self.apop_ix = self.network.molecule_ix_by_name("apoptosis")
         self.relative_reference: Optional[str] = None
+        self._relative_exp: Optional[FISAExperiment] = None
 
     def _parse_data_node(self, cnode, g, P):
         """Load the per-(cell line, concentration) bivariate-t mixture
@@ -434,6 +435,16 @@ class FISAExperimentIncucyteSequential(FISAExperiment):
         self.pair_valid = ~(
             np.isnan(self.mup[:, :, 1]) | np.isnan(self.mua[:, :, 1])
         )
+        # per-component validity: NaN means/weight-0 components must not
+        # enter the computation at all — masking only the VALUE leaves
+        # NaN in the gradient (0 * NaN = NaN under autodiff)
+        self.comp_valid = (
+            np.isfinite(self.mup)
+            & np.isfinite(self.mua)
+            & np.isfinite(self.logncweight)
+        )
+        self.mup_safe = np.where(self.comp_valid, self.mup, 0.0)
+        self.mua_safe = np.where(self.comp_valid, self.mua, 0.0)
         if cnode.get("type", "") == "relative":
             self.relative_reference = cnode.get("relative_reference")
 
@@ -443,12 +454,21 @@ class FISAExperimentIncucyteSequential(FISAExperiment):
         concs = jnp.asarray(self.drug_concentrations)
         ref_prolif = None
         if self.relative_reference is not None:
-            if self.relative_reference not in stored:
-                raise ValueError(
-                    f"Relative experiment '{self.relative_reference}' must "
-                    "be defined before this one and be single-condition"
+            if self.relative_reference in stored:
+                ref_acts = stored[self.relative_reference]
+            else:
+                # standalone accessor call (log_prob/modeled_activities):
+                # recompute the reference experiment's activities directly
+                if self._relative_exp is None:
+                    raise ValueError(
+                        f"Relative experiment '{self.relative_reference}' "
+                        "has not been resolved; it must be defined before "
+                        "this one and be single-condition"
+                    )
+                _, ref_acts = self._relative_exp.log_prob_and_activities(
+                    tv, {}
                 )
-            ref_prolif = stored[self.relative_reference][:, self.prolif_ix]
+            ref_prolif = ref_acts[:, self.prolif_ix]
 
         def solve_one(cell_ix, dci):
             preset, expression = self._prepare(tv, cell_ix)
@@ -466,8 +486,9 @@ class FISAExperimentIncucyteSequential(FISAExperiment):
         if ref_prolif is not None:
             prolif = prolif - ref_prolif[:, None]
 
-        tx = prolif[:, :, None] - jnp.asarray(self.mup)  # (P, C, K)
-        ta = apop[:, :, None] - jnp.asarray(self.mua)
+        valid = jnp.asarray(self.comp_valid)
+        tx = prolif[:, :, None] - jnp.asarray(self.mup_safe)  # (P, C, K)
+        ta = apop[:, :, None] - jnp.asarray(self.mua_safe)
         iv = jnp.asarray(self.invcov)
         q = (
             iv[..., 0, 0] * tx * tx
@@ -475,8 +496,8 @@ class FISAExperimentIncucyteSequential(FISAExperiment):
             + (iv[..., 0, 1] + iv[..., 1, 0]) * tx * ta
         )
         # bivariate t(nu=3): lognc_k - (nu+2)/2 * log1p(q/nu)
-        kp = jnp.asarray(self.logncweight) - 2.5 * jnp.log1p(q / 3.0)
-        kp = jnp.where(jnp.isnan(kp), -jnp.inf, kp)
+        lognc = jnp.where(valid, jnp.asarray(self.logncweight), 0.0)
+        kp = jnp.where(valid, lognc - 2.5 * jnp.log1p(q / 3.0), -jnp.inf)
         pair_lp = jax.scipy.special.logsumexp(kp, axis=-1)  # (P, C)
         logp = jnp.sum(jnp.where(jnp.asarray(self.pair_valid), pair_lp, 0.0))
         # stored activities = lowest-concentration solve (reference
@@ -553,6 +574,23 @@ def create_fisa_likelihood(varset: VariableSet, attrs):
             # matches the reference's "Unknown experiment type" error
             raise ValueError(f"Unknown experiment type '{etype}'")
         experiments.append(experiment_types[etype](node, varset, base_dir))
+    # resolve relative references to experiment objects (reference:
+    # fISAExperimentIncucyteSequential::ParseDataNode:231-254 — the
+    # target must be an earlier-defined single-condition experiment)
+    by_name: dict = {}
+    for exp in experiments:
+        ref = getattr(exp, "relative_reference", None)
+        if ref is not None:
+            target = by_name.get(ref)
+            if target is None or isinstance(
+                target, FISAExperimentIncucyteSequential
+            ):
+                raise ValueError(
+                    f"Experiment '{exp.name}' is relative to '{ref}', which "
+                    "must be an earlier-defined single-condition experiment"
+                )
+            exp._relative_exp = target
+        by_name[exp.name] = exp
     if not experiments:
         raise ValueError("fISA likelihood requires at least one experiment")
     return FISALikelihood(experiments, varset)

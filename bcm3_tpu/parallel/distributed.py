@@ -52,7 +52,13 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as e:  # already initialized
+    except RuntimeError as e:
+        # only the double-initialize case is benign; a coordinator
+        # failure must fail fast — silently continuing would run N
+        # unsynchronized single-process copies that all believe they
+        # are primary
+        if "already initialized" not in str(e).lower():
+            raise
         logger.warning("jax.distributed.initialize: %s", e)
     logger.info(
         "Distributed runtime: process %d/%d, %d local + %d global devices",

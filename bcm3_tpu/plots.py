@@ -74,7 +74,10 @@ def _weights(results, n: int, sample_ix=None) -> np.ndarray:
     w = results.get("weights")
     if w is None:
         return np.full(n, 1.0 / n)
-    w = np.asarray(w, dtype=np.float64).reshape(-1)
+    w = np.asarray(w, dtype=np.float64)
+    if w.ndim == 2:  # (S, n_temperatures) from load_results: T=1 column
+        w = w[:, -1]
+    w = w.reshape(-1)
     if sample_ix is not None:
         w = w[np.asarray(sample_ix)]
     w = np.where(np.isfinite(w), w, 0.0)
@@ -356,15 +359,18 @@ def bivariate_density(
             np.tile(yr[1] + (yr[1] - s2), 3),
         ]
     )
-    # plug-in bandwidth (diagonal Silverman substitute for ks::Hpi)
+    # plug-in bandwidth (diagonal Silverman substitute for ks::Hpi) from
+    # the un-mirrored samples; the 9 reflection copies scale the density
+    # back up like weighted_kde's `factor`
     n = len(xs)
-    bx = 1.06 * np.std(xs) * n ** (-1 / 6) * hscale
-    by = 1.06 * np.std(ys) * n ** (-1 / 6) * hscale
+    n_data = len(s1)
+    bx = 1.06 * max(np.std(s1), 1e-12) * n_data ** (-1 / 6) * hscale
+    by = 1.06 * max(np.std(s2), 1e-12) * n_data ** (-1 / 6) * hscale
     gx = np.linspace(xr[0], xr[1], gridsize)
     gy = np.linspace(yr[0], yr[1], gridsize)
     zx = np.exp(-0.5 * ((gx[:, None] - xs[None, :]) / bx) ** 2)
     zy = np.exp(-0.5 * ((gy[:, None] - ys[None, :]) / by) ** 2)
-    z = (zx @ zy.T) / (n * 2 * np.pi * bx * by)
+    z = 9.0 * (zx @ zy.T) / (n * 2 * np.pi * bx * by)
 
     im = ax.imshow(
         z.T,

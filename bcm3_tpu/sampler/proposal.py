@@ -324,14 +324,24 @@ def build_block_proposal(
 
     from scipy.linalg import solve_triangular as _host_trsm
 
+    # the engine passes the same C ladder GMM objects repeated per
+    # ensemble (pt.py: ladder_gmms * E) — invert each distinct GMM's
+    # factors once, not once per chain
+    inv_cache: dict[int, np.ndarray] = {}
     for c, g in enumerate(gmms):
         k = g.num_components
         means[c, :k] = g.means
         chols[c, :k] = g.chols
-        for ki in range(k):
-            inv_chols[c, ki] = _host_trsm(
-                np.asarray(g.chols[ki]), np.eye(d), lower=True
+        cached = inv_cache.get(id(g))
+        if cached is None:
+            cached = np.stack(
+                [
+                    _host_trsm(np.asarray(g.chols[ki]), np.eye(d), lower=True)
+                    for ki in range(k)
+                ]
             )
+            inv_cache[id(g)] = cached
+        inv_chols[c, :k] = cached
         with np.errstate(divide="ignore"):
             log_w[c, :k] = np.log(g.weights)
         log_c[c, :k] = g.log_c

@@ -152,7 +152,11 @@ def _em_fits(samples, resp0, active, ess_factor, max_steps: int = _MAX_EM_STEPS)
     singular (F,)."""
 
     def one_fit(r0, act):
-        mean0, cov0, w0 = _m_step(samples, r0, act, ess_factor)
+        mean0, cov0, _ = _m_step(samples, r0, act, ess_factor)
+        # initial weights are uniform over active components, matching the
+        # host path (gmm.py fit_gmm: weights = 1/K before the first E-step)
+        k_act = jnp.maximum(jnp.sum(act), 1)
+        w0 = jnp.where(act, 1.0 / k_act, 0.0)
 
         def step(carry):
             mean, cov, w, prev_logl, logl, stopped, conv, sing, it = carry
