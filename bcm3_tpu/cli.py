@@ -61,6 +61,12 @@ def run(opts) -> int:
     likelihood.learning_rate = float(opts.get("learning_rate", "1.0"))
 
     sampler = create_sampler(prior, likelihood, opts)
+    if hasattr(sampler, "progress"):
+        from bcm3_tpu.io.progress import ProgressIndicatorConsole
+
+        sampler.progress = ProgressIndicatorConsole(
+            update_time=float(opts.get("progress_update_time", "0.5"))
+        )
 
     handler = SampleHandlerHDF5(
         os.path.join(output_path, "output.nc"),

@@ -290,6 +290,10 @@ class SamplerPT:
         self._host_rng = np.random.default_rng(seed ^ 0x9E3779B9)
 
         self.total_evaluations = 0
+        # optional throttled console progress sink
+        # (reference: ProgressIndicatorConsole wired by Sampler::Run,
+        # Sampler.cpp:190-201); attached by the CLI, off in library use
+        self.progress = None
         self._segment_fns = {}
         # adaptation dumps for sampler_adaptation.nc: list of
         # (iteration, [(block, gmm-of-fixed-T-chain), ...], history or None)
@@ -1010,6 +1014,9 @@ class SamplerPT:
     def _run_impl(self):
         cfg = self.config
         t_start = time.time()
+        self._progress_rows = 0
+        if self.progress is not None:
+            self.progress.start()
 
         emitted = 0
         if cfg.checkpoint_file and os.path.exists(cfg.checkpoint_file):
@@ -1133,6 +1140,16 @@ class SamplerPT:
                 all_llh.append(lls)
                 for handler in self.sample_handlers:
                     handler.receive_samples(xs, lps, lls, self.ladder)
+                if self.progress is not None:
+                    # running MAP over the fixed-temperature chains
+                    # (reference: SamplerPT.cpp:223-226)
+                    lpost = lps[:, -1] + lls[:, -1]
+                    if lpost.size:
+                        self.progress.notify_max_lposterior(np.max(lpost))
+                    self._progress_rows += xs.shape[0]
+                    self.progress.update(
+                        self._progress_rows / max(self.expected_emitted_samples, 1)
+                    )
 
             done = 0
             while done < n_emit:
@@ -1167,6 +1184,8 @@ class SamplerPT:
             if cfg.checkpoint_file:
                 self._save_checkpoint(cfg.checkpoint_file, state, emitted)
 
+        if self.progress is not None:
+            self.progress.finish()
         elapsed = time.time() - t_start
         self.total_evaluations = int(np.asarray(state.att_mut).sum())
         evals_per_sec = self.total_evaluations / max(elapsed, 1e-9)
