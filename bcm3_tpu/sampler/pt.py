@@ -78,6 +78,10 @@ class PTConfig:
     max_history_size: int = 2000
     adapt_proposal_max_history_samples: int = 2000
     adapt_proposal_max_clustering_samples: int = 1000
+    # accepted for config compatibility; in the reference the flag it sets
+    # (proposal_scaling_adaptations_done, SamplerPT.cpp:250-255) is never
+    # consulted by any proposal — scale adaptation continues regardless, so
+    # the option's only observable effect is a log line
     stop_proposal_scaling: int = 6000
     sample_clustering_nn: int = 3
     sample_clustering_nn2: int = 7
