@@ -43,6 +43,19 @@ def create_sampler(prior, likelihood, opts: Dict[str, str]):
             seed=int(opts.get("sampler.rngseed", "0")),
         )
         return SamplerHMC(prior, likelihood, cfg)
+    if stype == "nuts":
+        from bcm3_tpu.sampler.nuts import NUTSConfig, SamplerNUTS
+
+        cfg = NUTSConfig(
+            num_samples=int(opts.get("sampler.num_samples", "1000")),
+            use_every_nth=int(opts.get("sampler.use_every_nth", "1")),
+            num_warmup=int(opts.get("nutssampler.num_warmup", "500")),
+            num_chains=int(opts.get("nutssampler.num_chains", "8")),
+            max_tree_depth=int(opts.get("nutssampler.max_tree_depth", "8")),
+            target_accept=float(opts.get("nutssampler.target_accept", "0.8")),
+            seed=int(opts.get("sampler.rngseed", "0")),
+        )
+        return SamplerNUTS(prior, likelihood, cfg)
     if stype == "smc":
         from bcm3_tpu.sampler.smc import SamplerSMC, SMCConfig
 
@@ -65,5 +78,5 @@ def create_sampler(prior, likelihood, opts: Dict[str, str]):
         )
         return SamplerVI(prior, likelihood, cfg)
     raise ValueError(
-        f"Unknown sampler.type '{stype}' (expected ptmh|is|hmc|smc|vi)"
+        f"Unknown sampler.type '{stype}' (expected ptmh|is|hmc|nuts|smc|vi)"
     )

@@ -214,16 +214,22 @@ class SamplerPT:
         if ptype == "parametric_mixture":
             # legacy alias used by reference example configs
             ptype = "gaussian_mixture"
+        self._use_mtfa_fit = False
         if ptype == "gaussian_mixture_fit_in_r":
             # the reference shells out to an R fitting service per adaptation
-            # (reference: ProposalGaussianMixtureFitInR.cpp:60-135,
-            # R/fit_proposal.r); the native batched EM fit replaces the
-            # out-of-process round trip — same mixture family, no Rscript
-            # process boundary
+            # (reference: ProposalGaussianMixtureFitInR.cpp:60-135 runs
+            # R/fit_proposal.r: EMMIXmfa::mtfa over a component x factor
+            # grid with BIC selection, mclust fallback); the in-process
+            # mixture-of-t-factor-analyzers fit (bcm3_tpu/stats/mfa.py)
+            # reproduces that procedure without the Rscript round trip.
+            # Device-side proposal machinery is the same Gaussian mixture —
+            # only the adaptation-time fit differs.
             logger.info(
-                "gaussian_mixture_fit_in_r: using the in-process batched "
-                "EM fit (replaces the reference's Rscript round trip)"
+                "gaussian_mixture_fit_in_r: using the in-process "
+                "mixture-of-t-factor-analyzers fit (replaces the "
+                "reference's Rscript round trip)"
             )
+            self._use_mtfa_fit = True
             ptype = "gaussian_mixture"
         if ptype not in (
             "gaussian_mixture",
@@ -281,7 +287,11 @@ class SamplerPT:
         use_device_gmm = config.gmm_fit_backend == "device" or (
             config.gmm_fit_backend == "auto" and self.num_variables >= 8
         )
-        if use_device_gmm:
+        if self._use_mtfa_fit:
+            from bcm3_tpu.stats.mfa import fit_proposal_mtfa
+
+            self._gmm_fitter = fit_proposal_mtfa
+        elif use_device_gmm:
             from bcm3_tpu.stats.gmm_device import fit_gmm_best_aic_device
 
             self._gmm_fitter = fit_gmm_best_aic_device
