@@ -50,7 +50,7 @@ from bcm3_tpu.model.variables import (
     VariableSet,
 )
 from bcm3_tpu.ode import linear_pk
-from bcm3_tpu.ode.dp5 import solve_at_times
+from bcm3_tpu.ode.dp5 import solve_at_times, solve_at_times_budget
 
 # reference: LikelihoodPopPKTrajectory.cpp:377-394
 DRUG_MOLWEIGHTS = {
@@ -209,10 +209,14 @@ class PopPKLikelihood:
         fixed_vod: float = np.nan,
         fixed_periphery_fwd: float = np.nan,
         fixed_periphery_bwd: float = np.nan,
+        solver_trips: int = 768,
     ):
         self.varset = varset
         self.trial = trial
         self.drug = drug
+        # whole-trajectory adaptive-step budget for the transit-model DP5
+        # solve (static trip count; see ode/dp5.py:solve_at_times_budget)
+        self.solver_trips = int(solver_trips)
         if drug not in DRUG_MOLWEIGHTS:
             raise ValueError(f"Unknown drug '{drug}'")
 
@@ -548,14 +552,26 @@ class PopPKLikelihood:
             # initial dose at t=0 enters through the transit chain:
             # last_treatment=0, dose=initial (reference: initial gut = 0)
             y0 = y0.at[n + 1].set(init_dose)
-            res = solve_at_times(
+            # whole-trajectory static step budget + min-step fail-fast: one
+            # pathological parameter corner must reject (-inf) quickly, not
+            # serialize the whole vmapped batch (reference's max-steps /
+            # min-step guards, ODESolverCVODE.cpp:322-445); the static
+            # fori lowering is ~20x faster than a masked while_loop on TPU
+            # and the budget form wastes no trips on masked
+            # segment-boundary no-ops (see ode/dp5.py:solve_at_times_budget)
+            # tolerances exactly as the reference configures them:
+            # rel 1e-6, abs = minimum dose * 1e-6
+            # (LikelihoodPopPKTrajectory.cpp:238)
+            res = solve_at_times_budget(
                 deriv,
                 y0,
                 j_grid,
                 args=args,
                 event_fn=event,
                 rtol=1e-6,
-                atol=1e-8,
+                atol=float(np.min(self.trial.dose)) * 1e-6,
+                total_trips=self.solver_trips,
+                min_dt=1e-5,
             )
             ys = jnp.where(res.ok, res.ys[:, 1], jnp.nan)  # central (S,)
             return ys
@@ -710,4 +726,5 @@ def create_poppk_likelihood(varset: VariableSet, attrs):
         fixed_vod=float(node.get("volume_of_distribution", "nan")),
         fixed_periphery_fwd=float(node.get("k_periphery_fwd", "nan")),
         fixed_periphery_bwd=float(node.get("k_periphery_bwd", "nan")),
+        solver_trips=int(node.get("solver_trips", "768")),
     )

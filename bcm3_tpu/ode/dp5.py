@@ -71,9 +71,17 @@ def _step(f, t, y, dt, args):
     return y5, y5 - y4
 
 
-def _integrate_segment(f, t0, t1, y0, dt0, args, rtol, atol, max_steps):
+def _integrate_segment(f, t0, t1, y0, dt0, args, rtol, atol, max_steps, min_dt=0.0):
     """Adaptively integrate from t0 to t1 (t1 >= t0). Returns
-    (y(t1), dt_next, steps_used, ok)."""
+    (y(t1), dt_next, steps_used, ok).
+
+    ``max_steps`` may be a traced value (a remaining global budget).
+    ``min_dt`` fails the trajectory as soon as the controller pushes the
+    step below it — the vmapped analogue of the reference's min-step
+    failure tracking (reference: ODESolverCVODE.cpp min_step guard,
+    Cell.h:35 cvode_min_timestep_reached): one stiff-corner lane must
+    fail fast instead of serializing the whole batch at the while_loop.
+    """
 
     def cond(carry):
         t, y, dt, steps, ok = carry
@@ -92,7 +100,7 @@ def _integrate_segment(f, t0, t1, y0, dt0, args, rtol, atol, max_steps):
         new_dt = dt_clip * factor
         t = jnp.where(accept, t + dt_clip, t)
         y = jnp.where(accept, y5, y)
-        ok = ok & jnp.all(jnp.isfinite(y)) & (new_dt > 0)
+        ok = ok & jnp.all(jnp.isfinite(y)) & (new_dt > min_dt)
         return (t, y, new_dt, steps + 1, ok)
 
     t, y, dt, steps, ok = jax.lax.while_loop(
@@ -100,6 +108,50 @@ def _integrate_segment(f, t0, t1, y0, dt0, args, rtol, atol, max_steps):
     )
     ok = ok & (steps < max_steps) | (t >= t1)
     ok = ok & jnp.all(jnp.isfinite(y))
+    return y, dt, steps, ok
+
+
+def _integrate_segment_fori(f, t0, t1, y0, dt0, args, rtol, atol, trips, min_dt=0.0):
+    """Fixed-trip-count variant of `_integrate_segment`: the same adaptive
+    step controller, but run for a static number of trips with finished
+    lanes masked to no-ops, instead of a data-dependent `lax.while_loop`.
+
+    Identical results to the while_loop version whenever `trips` covers the
+    steps a lane actually needs (the controller state evolves identically;
+    extra trips are masked out); lanes that would need more than `trips`
+    steps fail (ok=False -> NaN -> -inf), which is the reference's
+    max-steps soft-fail (ODESolverCVODE.cpp:322-445).
+
+    Why it exists: under vmap a while_loop runs every lane until the LAST
+    lane converges, and measured on TPU the masked-while lowering inside a
+    sampling scan is an order of magnitude slower than the same math as a
+    static fori_loop (22x on the PopPK transit workload). Static trip
+    counts are the TPU-native shape for bounded adaptive work.
+    """
+
+    def body(i, carry):
+        t, y, dt, steps, ok = carry
+        active = (t < t1) & ok
+        dt_clip = jnp.minimum(dt, t1 - t)
+        y5, err = _step(f, t, y, dt_clip, args)
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
+        err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+        accept = (err_norm <= 1.0) & active
+        factor = jnp.clip(
+            _SAFETY * (err_norm + 1e-30) ** -0.2, _MIN_FACTOR, _MAX_FACTOR
+        )
+        new_dt = jnp.where(active, dt_clip * factor, dt)
+        t = jnp.where(accept, t + dt_clip, t)
+        y = jnp.where(accept, y5, y)
+        ok = ok & (
+            ~active | (jnp.all(jnp.isfinite(y)) & (new_dt > min_dt))
+        )
+        return (t, y, new_dt, steps + active.astype(jnp.int32), ok)
+
+    t, y, dt, steps, ok = jax.lax.fori_loop(
+        0, trips, body, (t0, y0, jnp.maximum(dt0, 1e-12), jnp.int32(0), jnp.asarray(True))
+    )
+    ok = ok & (t >= t1) & jnp.all(jnp.isfinite(y))
     return y, dt, steps, ok
 
 
@@ -113,6 +165,9 @@ def solve_at_times(
     atol: float = 1e-6,
     max_steps_per_segment: int = 2000,
     first_dt: float = 1e-2,
+    max_steps_total: Optional[int] = None,
+    min_dt: float = 0.0,
+    fixed_trips: Optional[int] = None,
 ) -> DP5Result:
     """Integrate y' = f(t, y, args) across a sorted grid of stop times.
 
@@ -121,6 +176,15 @@ def solve_at_times(
     (zero-length segments). ``event_fn(i, t, y, args) -> y`` is applied at
     every stop time (identity by default) AFTER recording ys[i]; it
     implements dose additions / phase switches.
+
+    ``max_steps_total`` bounds the whole-trajectory step count (the
+    reference's per-Solve max-steps guard, ODESolverCVODE.cpp:322-445);
+    without it a single stiff-corner parameter draw can cost
+    S * max_steps_per_segment steps and, under vmap, serialize every
+    other lane in the batch. ``min_dt`` fails a trajectory whose step
+    size collapses below it (reference: min-step failure tracking).
+    Both failures produce NaN -> -inf -> proposal rejection, the
+    reference's soft-fail convention.
     """
     S = stop_times.shape[0]
     dtype = y0.dtype
@@ -134,9 +198,21 @@ def solve_at_times(
         t, y, dt, total_steps, ok = carry
         t_next = stop_times[i]
         seg_len = t_next - t
-        y_new, dt_new, steps, seg_ok = _integrate_segment(
-            f, t, t_next, y, dt, args, rtol, atol, max_steps_per_segment
-        )
+        if fixed_trips is not None:
+            y_new, dt_new, steps, seg_ok = _integrate_segment_fori(
+                f, t, t_next, y, dt, args, rtol, atol, fixed_trips, min_dt
+            )
+        else:
+            if max_steps_total is None:
+                seg_budget = max_steps_per_segment
+            else:
+                seg_budget = jnp.minimum(
+                    jnp.int32(max_steps_per_segment),
+                    jnp.int32(max_steps_total) - total_steps,
+                )
+            y_new, dt_new, steps, seg_ok = _integrate_segment(
+                f, t, t_next, y, dt, args, rtol, atol, seg_budget, min_dt
+            )
         # zero-length segment: passthrough
         y_new = jnp.where(seg_len > 0, y_new, y)
         seg_ok = jnp.where(seg_len > 0, seg_ok, True)
@@ -153,3 +229,100 @@ def solve_at_times(
     )
     ys = jnp.concatenate([y0[None, :], ys], axis=0)
     return DP5Result(ys=ys, ok=ok, n_steps=total_steps)
+
+
+def solve_at_times_budget(
+    f: Callable,
+    y0,
+    stop_times,
+    args=None,
+    event_fn: Optional[Callable] = None,
+    rtol: float = 1e-6,
+    atol: float = 1e-6,
+    total_trips: int = 768,
+    first_dt: float = 1e-2,
+    min_dt: float = 0.0,
+) -> DP5Result:
+    """`solve_at_times` with a single whole-trajectory step budget.
+
+    Same contract as `solve_at_times` (sorted stop-time grid, `event_fn`
+    applied at each stop after recording), but structured as ONE static
+    `lax.fori_loop` of `total_trips` adaptive steps with a stop-time
+    pointer carried per lane, instead of scan-over-segments x
+    bounded-loop-per-segment. Two wins for batched TPU execution:
+
+    - work is bounded by what the trajectory actually needs (a tight
+      whole-trajectory budget) rather than segments x per-segment budget,
+      so masked no-op trips are rare instead of the common case;
+    - the step size is PRESERVED across stop-time boundaries: a step
+      clipped to land exactly on a stop keeps the controller's dt for the
+      next segment instead of collapsing to the clipped sliver (the
+      reference gets this from CVODE's one-step mode + dense output,
+      ODESolverCVODE.cpp:322-445 — it never shrinks steps to hit outputs).
+
+    Lanes that exhaust the budget fail (NaN -> -inf -> rejection), the
+    reference's max-steps soft-fail convention.
+    """
+    S = stop_times.shape[0]
+    dtype = y0.dtype
+    n = y0.shape[0]
+
+    def event(i, t, y):
+        if event_fn is None:
+            return y
+        return event_fn(i, t, y, args)
+
+    t0 = stop_times[0]
+    ys0 = jnp.full((S, n), jnp.nan, dtype=dtype).at[0].set(y0)
+    y_init = event(0, t0, y0)
+
+    def body(_i, carry):
+        t, y, dt, seg, ys, ok = carry
+        t1 = stop_times[jnp.minimum(seg, S - 1)]
+        active = (seg < S) & ok
+        remaining = jnp.maximum(t1 - t, 0.0)
+        clipped = dt >= remaining
+        dt_step = jnp.minimum(dt, remaining)
+        y5, err = _step(f, t, y, dt_step, args)
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
+        err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+        # zero-length remainder (repeated stop times): trivially accepted
+        err_norm = jnp.where(remaining > 0, err_norm, 0.0)
+        accept = (err_norm <= 1.0) & active
+        factor = jnp.clip(
+            _SAFETY * (err_norm + 1e-30) ** -0.2, _MIN_FACTOR, _MAX_FACTOR
+        )
+        # keep the controller's dt across clipped stop-time landings
+        new_dt = jnp.where(
+            active, jnp.where(clipped & accept, dt, dt_step * factor), dt
+        )
+        # snap clipped landings exactly onto the stop time (floating-point
+        # t + (t1-t) can undershoot t1 and spin on sliver steps)
+        t_new = jnp.where(accept, jnp.where(clipped, t1, t + dt_step), t)
+        y_new = jnp.where(accept, y5, y)
+        reached = accept & (t_new >= t1)
+        # record the state at the stop, then apply the event jump
+        seg_rec = jnp.minimum(seg, S - 1)
+        row = jnp.where(reached, y_new, ys[seg_rec])
+        ys = ys.at[seg_rec].set(row)
+        y_after = event(seg_rec, t1, y_new)
+        y_new = jnp.where(reached, y_after, y_new)
+        seg = seg + reached.astype(jnp.int32)
+        ok = ok & (
+            ~active
+            | (jnp.all(jnp.isfinite(y_new)) & (new_dt > min_dt))
+        )
+        return (t_new, y_new, new_dt, seg, ys, ok)
+
+    init = (
+        t0,
+        y_init,
+        jnp.asarray(first_dt, dtype),
+        jnp.int32(1),
+        ys0,
+        jnp.asarray(True),
+    )
+    t, y, dt, seg, ys, ok = jax.lax.fori_loop(0, total_trips, body, init)
+    ok = ok & (seg >= S)
+    ys = jnp.where(ok, ys, jnp.full_like(ys, jnp.nan))
+    return DP5Result(ys=ys, ok=ok, n_steps=jnp.int32(total_trips))

@@ -123,6 +123,48 @@ def _integrate_segment(f, t0, t1, y0, dt0, args, rtol, atol, max_steps):
     return y, dt, steps, ok
 
 
+def _integrate_segment_fori(f, t0, t1, y0, dt0, args, rtol, atol, trips):
+    """Fixed-trip-count variant of `_integrate_segment` (see the DP5
+    twin, ode/dp5.py:_integrate_segment_fori, for the rationale): same
+    adaptive controller, static `lax.fori_loop` trip count, finished
+    lanes masked to no-ops. Lanes needing more than `trips` steps fail
+    (ok=False -> NaN -> -inf), the reference's max-steps soft-fail.
+    Measured ~20x faster than the masked while_loop lowering inside a
+    sampling scan on TPU."""
+
+    def body(i, carry):
+        t, y, dt, steps, ok = carry
+        active = (t < t1) & ok
+        dt_clip = jnp.minimum(dt, t1 - t)
+        y_new, err = _rosenbrock_step(f, t, y, dt_clip, args)
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+        err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+        err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)
+        accept = (err_norm <= 1.0) & active
+        factor = jnp.clip(
+            _SAFETY * (err_norm + 1e-30) ** (-1.0 / _ORDER),
+            _MIN_FACTOR,
+            _MAX_FACTOR,
+        )
+        new_dt = jnp.where(active, dt_clip * factor, dt)
+        t = jnp.where(accept, t + dt_clip, t)
+        y = jnp.where(accept, y_new, y)
+        ok = ok & (
+            ~active
+            | (
+                jnp.all(jnp.isfinite(y))
+                & (new_dt > 1e-14 * jnp.maximum(jnp.abs(t1), 1.0))
+            )
+        )
+        return (t, y, new_dt, steps + active.astype(jnp.int32), ok)
+
+    t, y, dt, steps, ok = jax.lax.fori_loop(
+        0, trips, body, (t0, y0, jnp.maximum(dt0, 1e-12), jnp.int32(0), jnp.asarray(True))
+    )
+    ok = ok & (t >= t1) & jnp.all(jnp.isfinite(y))
+    return y, dt, steps, ok
+
+
 def solve_at_times_stiff(
     f: Callable,
     y0,
@@ -133,6 +175,7 @@ def solve_at_times_stiff(
     atol: float = 1e-9,
     max_steps_per_segment: int = 5000,
     first_dt: float = 1e-4,
+    fixed_trips: Optional[int] = None,
 ) -> StiffResult:
     """Stiff counterpart of bcm3_tpu.ode.dp5.solve_at_times: integrate
     across a sorted grid of stop times, applying ``event_fn(i, t, y,
@@ -149,9 +192,14 @@ def solve_at_times_stiff(
         t, y, dt, total_steps, ok = carry
         t_next = stop_times[i]
         seg_len = t_next - t
-        y_new, dt_new, steps, seg_ok = _integrate_segment(
-            f, t, t_next, y, dt, args, rtol, atol, max_steps_per_segment
-        )
+        if fixed_trips is not None:
+            y_new, dt_new, steps, seg_ok = _integrate_segment_fori(
+                f, t, t_next, y, dt, args, rtol, atol, fixed_trips
+            )
+        else:
+            y_new, dt_new, steps, seg_ok = _integrate_segment(
+                f, t, t_next, y, dt, args, rtol, atol, max_steps_per_segment
+            )
         y_new = jnp.where(seg_len > 0, y_new, y)
         seg_ok = jnp.where(seg_len > 0, seg_ok, True)
         ok = ok & seg_ok

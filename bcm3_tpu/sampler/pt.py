@@ -61,6 +61,38 @@ logger = logging.getLogger("bcm3_tpu.sampler")
 _NEG_INF = -np.inf
 
 
+def _to_host(arr) -> np.ndarray:
+    """Device array -> host numpy, transparently across processes.
+
+    In a multi-process (jax.distributed) run, globally-sharded arrays are
+    not fully addressable from one process; gather them with an
+    all-gather collective so every process sees the full value (used for
+    the host-side adaptation/statistics boundaries, which must compute
+    identically on every process)."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
+def _local_chain_rows(arr) -> Tuple[np.ndarray, int]:
+    """Extract this process's contiguous chain-axis block of a globally
+    sharded (S, C, ...) emission array. Returns (local_rows, chain_start).
+
+    Used for per-host sharded emission: each host materializes and writes
+    only the chains it owns (SURVEY §5 'sharded sample store') instead of
+    funnelling the full population through host 0."""
+    shards = [
+        s for s in arr.addressable_shards
+    ]
+    shards.sort(key=lambda s: (s.index[1].start or 0))
+    start = shards[0].index[1].start or 0
+    parts = [np.asarray(s.data) for s in shards]
+    local = np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    return local, start
+
+
 @dataclass
 class PTConfig:
     """Sampler configuration; defaults match the reference option tables
@@ -132,6 +164,12 @@ class PTConfig:
     # profiler (TensorBoard trace) — the deep-profiling story the
     # reference's wall-clock-only Timer lacks (SURVEY §5).
     profile_dir: str = ""
+    # Dtype for emitted samples pulled to the host (None = sampler dtype).
+    # float32 halves device->host transfer volume, which dominates
+    # end-to-end time on bandwidth-limited links; the in-sampler chain
+    # state stays at full precision, only the emitted copies are cast
+    # (the reference's own SampleHistory is float32, SampleHistory.cpp:41).
+    emit_dtype: Any = None
 
     def resolved_dtype(self):
         if self.dtype is not None:
@@ -679,14 +717,31 @@ class SamplerPT:
         nth = self.config.use_every_nth
 
         def emit_step(assigner, carry, _):
-            state, proposals = carry
-            for _i in range(nth):
+            def one_iter(c, _x):
+                state, proposals = c
                 key, new_key = jax.random.split(state.key)
                 state = dataclasses.replace(state, key=new_key)
                 state, proposals = self._iteration(
                     (state, proposals), key, assigner
                 )
-            out = (state.x, state.lprior, state.llh)
+                return (state, proposals), None
+
+            if nth > 1:
+                # inner scan instead of a Python unroll: same key threading,
+                # bit-identical samples, nth-times smaller HLO to compile
+                carry, _ = jax.lax.scan(one_iter, carry, None, length=nth)
+                state, proposals = carry
+            else:
+                (state, proposals), _ = one_iter(carry, None)
+            edt = self.config.emit_dtype
+            if edt is not None:
+                out = (
+                    state.x.astype(edt),
+                    state.lprior.astype(edt),
+                    state.llh.astype(edt),
+                )
+            else:
+                out = (state.x, state.lprior, state.llh)
             return (state, proposals), out
 
         if with_assigner:
@@ -733,13 +788,22 @@ class SamplerPT:
             return (x, lprior, llh, found | ok), None
 
         keys = jax.random.split(key, self.config.initial_position_tries)
-        init = (
+        carry = (
             jnp.zeros((C, self.num_variables), dtype=self.dtype),
             jnp.full((C,), _NEG_INF, dtype=self.dtype),
             jnp.full((C,), _NEG_INF, dtype=self.dtype),
             jnp.zeros((C,), dtype=bool),
         )
-        (x, lprior, llh, found), _ = jax.lax.scan(attempt, init, keys)
+        # host loop with early exit instead of a lax.scan over all tries:
+        # the first few draws almost always succeed, the per-try dispatch
+        # is microseconds, and it avoids compiling a tries-length scan
+        # around the full likelihood (the reference's retry loop is also
+        # host-side, SamplerPTChain.cpp:188-215)
+        for i in range(self.config.initial_position_tries):
+            carry, _ = attempt(carry, keys[i])
+            if (i < 4 or i % 8 == 7) and bool(jnp.all(carry[3])):
+                break
+        x, lprior, llh, found = carry
         if not bool(jnp.all(found)):
             raise RuntimeError(
                 "Could not find starting position with finite power posterior "
@@ -768,7 +832,7 @@ class SamplerPT:
         )
 
     def _history_matrices(self, state: PTState) -> Tuple[np.ndarray, int]:
-        hist = np.asarray(state.history, dtype=np.float64)
+        hist = _to_host(state.history).astype(np.float64)
         adds = int(state.hist_adds)
         count = min(self.history_size, adds // self.history_subsampling)
         return hist[:, :count, :], count
@@ -1136,7 +1200,7 @@ class SamplerPT:
                 bytes_per_emit = (
                     self.num_chains
                     * (self.num_variables + 2)
-                    * jnp.dtype(self.dtype).itemsize
+                    * jnp.dtype(cfg.emit_dtype or self.dtype).itemsize
                 )
                 chunk = max(1, (32 << 20) // max(bytes_per_emit, 1))
             else:
@@ -1144,11 +1208,31 @@ class SamplerPT:
             pending = None
 
             def _materialize(ys_dev):
-                xs, lps, lls = (
-                    self._pool_ensembles(np.asarray(ys_dev[0])),
-                    self._pool_ensembles(np.asarray(ys_dev[1])),
-                    self._pool_ensembles(np.asarray(ys_dev[2])),
-                )
+                if not getattr(ys_dev[0], "is_fully_addressable", True):
+                    # multi-process run: per-host sharded emission — each
+                    # process materializes and stores only the ensembles it
+                    # owns (no host-0 funnel); merge with
+                    # bcm3_tpu.io.output.merge_sharded_results
+                    L = self.ladder_size
+                    x_loc, c0 = _local_chain_rows(ys_dev[0])
+                    if c0 % L == 0 and x_loc.shape[1] % L == 0:
+                        lp_loc, _ = _local_chain_rows(ys_dev[1])
+                        ll_loc, _ = _local_chain_rows(ys_dev[2])
+                        e_local = x_loc.shape[1] // L
+                        self._emit_shard_info = (c0 // L, e_local)
+                        xs = self._pool_ensembles(x_loc, e_local)
+                        lps = self._pool_ensembles(lp_loc, e_local)
+                        lls = self._pool_ensembles(ll_loc, e_local)
+                    else:  # shard boundary splits a ladder: gather instead
+                        xs = self._pool_ensembles(_to_host(ys_dev[0]))
+                        lps = self._pool_ensembles(_to_host(ys_dev[1]))
+                        lls = self._pool_ensembles(_to_host(ys_dev[2]))
+                else:
+                    xs, lps, lls = (
+                        self._pool_ensembles(np.asarray(ys_dev[0])),
+                        self._pool_ensembles(np.asarray(ys_dev[1])),
+                        self._pool_ensembles(np.asarray(ys_dev[2])),
+                    )
                 all_x.append(xs)
                 all_lprior.append(lps)
                 all_llh.append(lls)
@@ -1201,7 +1285,7 @@ class SamplerPT:
         if self.progress is not None:
             self.progress.finish()
         elapsed = time.time() - t_start
-        self.total_evaluations = int(np.asarray(state.att_mut).sum())
+        self.total_evaluations = int(_to_host(state.att_mut).sum())
         evals_per_sec = self.total_evaluations / max(elapsed, 1e-9)
         logger.info(
             "Sampling finished: %d evaluations in %.2fs (%.1f evals/s)",
@@ -1222,15 +1306,19 @@ class SamplerPT:
             "log_likelihood": np.concatenate(all_llh, axis=0),
             "temperatures": self.ladder,
             "acceptance": {
-                "attempted_mutate": np.asarray(state.att_mut),
-                "accepted_mutate": np.asarray(state.acc_mut),
-                "attempted_exchange": np.asarray(state.att_exc),
-                "accepted_exchange": np.asarray(state.acc_exc),
+                "attempted_mutate": _to_host(state.att_mut),
+                "accepted_mutate": _to_host(state.acc_mut),
+                "attempted_exchange": _to_host(state.att_exc),
+                "accepted_exchange": _to_host(state.acc_exc),
             },
             "evaluations": self.total_evaluations,
             "elapsed_seconds": elapsed,
             "evals_per_second": evals_per_sec,
             "adaptation_records": adaptation_records,
+            # set in multi-process runs with per-host sharded emission:
+            # (first ensemble index, ensemble count) of this process's rows
+            "ensemble_shard": getattr(self, "_emit_shard_info", None),
+            "num_ensembles": self.num_ensembles,
         }
 
     def _save_checkpoint(self, path: str, state: PTState, emitted: int):
@@ -1263,12 +1351,14 @@ class SamplerPT:
             self._host_rng.bit_generator.state = host_rng_state
         return payload["emitted"]
 
-    def _pool_ensembles(self, arr: np.ndarray) -> np.ndarray:
+    def _pool_ensembles(self, arr: np.ndarray, num_ensembles=None) -> np.ndarray:
         """(S, E*C, ...) -> (S*E, C, ...): pool replica samples per
         temperature, sample-major so every emitted step's replicas are
-        adjacent in the output store."""
-        E, C = self.num_ensembles, self.ladder_size
-        if E == 1:
+        adjacent in the output store. ``num_ensembles`` overrides the
+        configured count for per-host shards of the ensemble axis."""
+        E = self.num_ensembles if num_ensembles is None else num_ensembles
+        C = self.ladder_size
+        if E == 1 and arr.shape[1] == C:
             return arr
         S = arr.shape[0]
         rest = arr.shape[2:]
@@ -1278,10 +1368,10 @@ class SamplerPT:
         """Acceptance table aggregated over ensembles per temperature
         (reference: SamplerPTChain.cpp LogStatistics:383-389)."""
         C = self.ladder_size
-        att_m = np.asarray(state.att_mut, dtype=np.float64).reshape(-1, C).sum(0)
-        acc_m = np.asarray(state.acc_mut, dtype=np.float64).reshape(-1, C).sum(0)
-        att_e = np.asarray(state.att_exc, dtype=np.float64).reshape(-1, C).sum(0)
-        acc_e = np.asarray(state.acc_exc, dtype=np.float64).reshape(-1, C).sum(0)
+        att_m = _to_host(state.att_mut).astype(np.float64).reshape(-1, C).sum(0)
+        acc_m = _to_host(state.acc_mut).astype(np.float64).reshape(-1, C).sum(0)
+        att_e = _to_host(state.att_exc).astype(np.float64).reshape(-1, C).sum(0)
+        acc_e = _to_host(state.acc_exc).astype(np.float64).reshape(-1, C).sum(0)
         logger.info("Acceptance statistics:")
         logger.info("Temperature | Mutate (all) | Exchange (all)")
         for c in range(C):

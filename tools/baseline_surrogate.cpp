@@ -23,6 +23,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <fstream>
+#include <string>
 #include <random>
 #include <thread>
 #include <vector>
@@ -38,6 +39,11 @@ struct Trial {
 
 struct Params {
     double ka, ke, kel, sd, sd2, conversion;
+    // transit model (reference CalculateDerivative_OneCompartmentTransit,
+    // LikelihoodPopPKTrajectory.cpp:573-592): Erlang-shaped inflow from the
+    // most recent dose; 0 transit compartments integrated explicitly.
+    bool transit = false;
+    double n_transit = 0, k_transit = 0, dose_amt = 0, last_treatment = 0;
 };
 
 static const double C5[7] = {35.0/384, 0.0, 500.0/1113, 125.0/192, -2187.0/6784, 11.0/84, 0.0};
@@ -51,8 +57,17 @@ static const double AC[7][6] = {
     {9017.0/3168,-355.0/33,46732.0/5247,49.0/176,-5103.0/18656,0},
     {35.0/384,0,500.0/1113,125.0/192,-2187.0/6784,11.0/84}};
 
-static inline void deriv(const Params& p, const double* y, double* dydt) {
-    dydt[0] = -(p.ka + p.ke) * y[0];
+static inline void deriv(const Params& p, double t, const double* y, double* dydt) {
+    if (p.transit) {
+        double ts = t - p.last_treatment;
+        double lognfac = 0.9189385332046727 + (p.n_transit + 0.5) * std::log(p.n_transit)
+                         - p.n_transit + std::log(1 + 1 / (12.0 * p.n_transit));
+        double transit = std::exp(p.n_transit * std::log(p.k_transit * ts)
+                                  - p.k_transit * ts - lognfac);
+        dydt[0] = p.k_transit * transit * p.dose_amt - (p.ka + p.ke) * y[0];
+    } else {
+        dydt[0] = -(p.ka + p.ke) * y[0];
+    }
     dydt[1] = p.ka * y[0] - p.kel * y[1];
 }
 
@@ -64,15 +79,16 @@ static bool integrate(const Params& p, double* y, double t0, double t1,
     while (t < t1) {
         if (++steps > 100000) return false;
         double h = dt < (t1 - t) ? dt : (t1 - t);
+        static const double CNODE[7] = {0, 1.0/5, 3.0/10, 4.0/5, 8.0/9, 1.0, 1.0};
         double k[7][2], ytmp[2];
-        deriv(p, y, k[0]);
+        deriv(p, t, y, k[0]);
         for (int i = 1; i < 7; i++) {
             ytmp[0] = y[0]; ytmp[1] = y[1];
             for (int j = 0; j < i; j++) {
                 ytmp[0] += h * AC[i][j] * k[j][0];
                 ytmp[1] += h * AC[i][j] * k[j][1];
             }
-            deriv(p, ytmp, k[i]);
+            deriv(p, t + CNODE[i] * h, ytmp, k[i]);
         }
         double y5[2] = {y[0], y[1]}, y4[2] = {y[0], y[1]};
         for (int i = 0; i < 7; i++) {
@@ -101,8 +117,13 @@ static bool integrate(const Params& p, double* y, double t0, double t1,
 static double evaluate(const Trial& tr, const Params* pp) {
     double logp = 0.0;
     for (int j = 0; j < tr.P; j++) {
-        const Params& p = pp[j];
-        double y[2] = {tr.dose[j], 0.0};
+        Params p = pp[j];
+        // transit: dose enters through the Erlang inflow (y starts empty,
+        // last_treatment tracks the most recent given dose); otherwise the
+        // dose is a bolus into the absorption compartment.
+        double y[2] = {p.transit ? 0.0 : tr.dose[j], 0.0};
+        p.dose_amt = tr.dose[j];
+        p.last_treatment = 0.0;
         double dt = 0.01;
         double t_cur = 0.0;
         int next_dose_k = 1;
@@ -115,7 +136,10 @@ static double evaluate(const Trial& tr, const Params* pp) {
                 if (!integrate(p, y, t_cur, t_dose, rtol, atol, dt)) return -INFINITY;
                 int day = (int)std::floor(t_dose / 24.0);
                 bool give = !(day >= 0 && day < 29 && tr.skipped[j * 29 + day]);
-                if (give) y[0] += tr.dose[j];
+                if (give) {
+                    if (p.transit) p.last_treatment = t_dose;
+                    else y[0] += tr.dose[j];
+                }
                 t_cur = t_dose;
                 next_dose_k++;
             }
@@ -134,7 +158,7 @@ static double evaluate(const Trial& tr, const Params* pp) {
 }
 
 int main(int argc, char** argv) {
-    if (argc < 4) { std::fprintf(stderr, "usage: %s data n_evals n_threads\n", argv[0]); return 1; }
+    if (argc < 4) { std::fprintf(stderr, "usage: %s data n_evals n_threads [one|one_transit]\n", argv[0]); return 1; }
     std::ifstream in(argv[1]);
     Trial tr;
     in >> tr.P >> tr.T;
@@ -151,6 +175,7 @@ int main(int argc, char** argv) {
 
     int n_evals = std::atoi(argv[2]);
     int n_threads = std::atoi(argv[3]);
+    bool transit = (argc > 4 && std::string(argv[4]) == "one_transit");
 
     std::atomic<long> done(0);
     double sink = 0.0;
@@ -170,6 +195,9 @@ int main(int argc, char** argv) {
                 pp[j].kel = std::pow(10.0, mu_elim + 0.15 * (u(rng) - 0.5)) / vod;
                 pp[j].sd = 20.0; pp[j].sd2 = 0.08;
                 pp[j].conversion = (1e6 / 581.06) / vod;
+                pp[j].transit = transit;
+                pp[j].n_transit = 3.0 + u(rng);
+                pp[j].k_transit = (pp[j].n_transit + 1.0) / (2.0 + u(rng));
             }
             local += evaluate(tr, pp.data());
         }

@@ -54,18 +54,23 @@ def main(num_evals: int = 2000):
         check=True,
     )
     n_threads = os.cpu_count() or 1
-    out = subprocess.run(
-        [exe, data_file, str(num_evals), str(n_threads)],
-        check=True,
-        capture_output=True,
-        text=True,
-    ).stdout
-    res = json.loads(out)
+
+    def run_model(model):
+        out = subprocess.run(
+            [exe, data_file, str(num_evals), str(n_threads), model],
+            check=True,
+            capture_output=True,
+            text=True,
+        ).stdout
+        return json.loads(out)["evals_per_sec"]
+
     result = {
-        "poppk_evals_per_sec": res["evals_per_sec"],
+        "poppk_evals_per_sec": run_model("one"),
+        "poppk_transit_evals_per_sec": run_model("one_transit"),
         "threads": n_threads,
         "num_evals": num_evals,
-        "workload": "PopPK one-compartment, 16 patients, 24 timepoints, 14-day horizon",
+        "workload": "PopPK 16 patients, 24 timepoints, 14-day horizon; "
+        "models: one-compartment + one-compartment-transit",
         "method": "C++ DP5 surrogate (see tools/baseline_surrogate.cpp); "
         "reference itself unbuildable here (Boost absent)",
     }
