@@ -26,7 +26,16 @@ CHECKPOINT_VERSION = 1
 def _tree_to_numpy(tree):
     import jax
 
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    def to_np(x):
+        if not getattr(x, "is_fully_addressable", True):
+            # multi-process run: gather globally-sharded leaves so every
+            # process writes a complete, identical checkpoint
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(to_np, tree)
 
 
 def save_checkpoint(

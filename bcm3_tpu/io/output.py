@@ -177,3 +177,46 @@ def load_results(filename: str):
         arr = out[k]
         arr[arr == NC_FILL_DOUBLE] = np.nan
     return out
+
+
+def merge_sharded_results(results):
+    """Merge per-process ``SamplerPT.run()`` results from a multi-process
+    (jax.distributed) run with per-host sharded emission into the exact
+    row ordering a single-process run produces.
+
+    Each process's result carries ``ensemble_shard = (e0, e_local)``: its
+    rows are the pool of its own ensembles, sample-major. The merged store
+    interleaves them back to row index ``s * E + e`` (see
+    SamplerPT._pool_ensembles). The reference has no distributed output at
+    all (SURVEY §2.12); this is the merge step of the mandated per-host
+    sharded sample store (SURVEY §5).
+    """
+    E = int(results[0]["num_ensembles"])
+    keys = ("samples", "log_prior", "log_likelihood")
+    merged = {}
+    for key in keys:
+        shards = []
+        for r in results:
+            shard = r["ensemble_shard"]
+            if shard is None:
+                raise ValueError(
+                    "result has no ensemble_shard info (not a sharded-"
+                    "emission run); nothing to merge"
+                )
+            e0, el = shard
+            arr = np.asarray(r[key])
+            S = arr.shape[0] // el
+            shards.append((e0, el, arr.reshape(S, el, *arr.shape[1:])))
+        S = shards[0][2].shape[0]
+        rest = shards[0][2].shape[2:]
+        out = np.zeros((S, E) + rest, dtype=shards[0][2].dtype)
+        seen = np.zeros(E, dtype=bool)
+        for e0, el, arr in shards:
+            out[:, e0 : e0 + el] = arr
+            seen[e0 : e0 + el] = True
+        if not seen.all():
+            raise ValueError("ensemble shards do not cover the population")
+        merged[key] = out.reshape((S * E,) + rest)
+    merged["temperatures"] = results[0]["temperatures"]
+    merged["num_ensembles"] = E
+    return merged

@@ -40,8 +40,14 @@ def shard_leading_axis(tree, mesh: Mesh, chain_count: int):
     matches the chain count, replicated otherwise."""
     cs = chain_sharding(mesh)
     rep = replicated(mesh)
+    multiproc = jax.process_count() > 1
 
     def put(leaf):
+        if multiproc and hasattr(leaf, "shape"):
+            # every process computed an identical full copy (deterministic
+            # init); hand numpy to device_put so it scatters each process's
+            # addressable shards of the global array
+            leaf = np.asarray(leaf)
         if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == chain_count:
             return jax.device_put(leaf, cs)
         return jax.device_put(leaf, rep)
