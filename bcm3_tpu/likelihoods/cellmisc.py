@@ -32,7 +32,7 @@ import numpy as np
 from bcm3_tpu.cellpop.data_likelihood import batched_hungarian
 from bcm3_tpu.likelihoods.poppk import log_pdf_tnu4
 from bcm3_tpu.model.variables import VariableSet
-from bcm3_tpu.ode.delay import solve_dde_grid
+from bcm3_tpu.ode.delay import solve_dde_adaptive, solve_dde_grid
 
 # log(Gamma(2)/(Gamma(1.5) sqrt(3 pi))) = log(2/(sqrt(3) pi))
 _LOG_TNU3_NORM = float(np.log(2.0 / (np.sqrt(3.0) * np.pi)))
@@ -219,11 +219,13 @@ class IncucytePopulationLikelihood:
         experiments: List[IncucyteExperiment],
         use_pao_control: bool = True,
         grid_points: int = 256,
+        solver: str = "adaptive",
     ):
         self.varset = varset
         self.experiments = experiments
         self.use_pao_control = use_pao_control
         self.grid_points = grid_points
+        self.solver = solver
         self._ix = {name: i for i, name in enumerate(varset.names)}
 
     def _v(self, values, name):
@@ -334,9 +336,21 @@ class IncucytePopulationLikelihood:
             )
 
         def solve_well(wp, wa, st, et, asize, hd):
-            res = solve_dde_grid(
-                rhs, y0, grid, apo_duration, args=(wp, wa, st, et, asize, hd)
-            )
+            # adaptive method-of-steps with the reference's incucyte
+            # tolerances (rel 1e-6 / abs 1e-2,
+            # LikelihoodIncucytePopulation.cpp:131); the fixed-grid RK4
+            # path remains for regression comparison
+            if self.solver == "fixed":
+                res = solve_dde_grid(
+                    rhs, y0, grid, apo_duration,
+                    args=(wp, wa, st, et, asize, hd),
+                )
+            else:
+                res = solve_dde_adaptive(
+                    rhs, y0, grid, apo_duration,
+                    args=(wp, wa, st, et, asize, hd),
+                    rtol=1e-6, atol=1e-2,
+                )
             tp = jnp.asarray(e.timepoints, dtype=values.dtype)
             ys = jax.vmap(
                 lambda col: jnp.interp(tp, grid, col)

@@ -49,7 +49,7 @@ NUM_CHAINS = 8
 # single v5e chip without exhausting HBM for the expm model; the DP5
 # transit model carries more live state per chain, so it runs at 2048.
 NUM_ENSEMBLES = int(os.environ.get("BENCH_ENSEMBLES", "8192"))
-NUM_ENSEMBLES_TRANSIT = int(os.environ.get("BENCH_ENSEMBLES_TRANSIT", "2048"))
+NUM_ENSEMBLES_TRANSIT = int(os.environ.get("BENCH_ENSEMBLES_TRANSIT", "1024"))
 N_REPS = int(os.environ.get("BENCH_REPS", "3"))
 NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "100"))
 

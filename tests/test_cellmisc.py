@@ -200,3 +200,68 @@ def test_incucyte_population_dynamics():
     # negative control grows; highest drug concentration grows slower
     assert ys[0, 0, -1] > ys[0, 0, 0]
     assert ys[2 + 2, 0, -1] < ys[0, 0, -1]
+
+
+def test_dde_adaptive_vs_analytic():
+    """Adaptive solver on the same problem as test_dde_solver_vs_analytic
+    but a 8x coarser output grid: error control must hold accuracy that
+    fixed-grid RK4 only reaches by grid density."""
+    from bcm3_tpu.ode.delay import solve_dde_adaptive
+
+    f = lambda t, y, yd, args: -yd
+    grid = jnp.linspace(0.0, 2.0, 51)
+    res = solve_dde_adaptive(
+        f, jnp.asarray([1.0]), grid, 1.0, rtol=1e-8, atol=1e-10,
+        trips_per_interval=12,
+    )
+    assert bool(res.ok)
+    ys = np.asarray(res.ys)[:, 0]
+    t = np.asarray(grid)
+    expect = np.where(t <= 1.0, 1.0 - t, 1.0 - t + 0.5 * (t - 1.0) ** 2)
+    np.testing.assert_allclose(ys, expect, atol=1e-7)
+
+
+def test_dde_adaptive_convergence_delayed_logistic():
+    """Convergence check against a dense-grid oracle on the delayed
+    logistic (Hutchinson) equation, which oscillates: the adaptive
+    solver at the reference's incucyte tolerances
+    (rel 1e-6 / abs 1e-2 scaled, LikelihoodIncucytePopulation.cpp:131)
+    must track the oracle on a coarse output grid."""
+    from bcm3_tpu.ode.delay import solve_dde_adaptive, solve_dde_grid
+
+    r, tau = 1.8, 1.0
+
+    def f(t, y, yd, args):
+        return r * y * (1.0 - yd)
+
+    y0 = jnp.asarray([0.1])
+    # oracle: fixed-grid RK4 at very high density
+    dense = jnp.linspace(0.0, 20.0, 16001)
+    oracle = solve_dde_grid(f, y0, dense, tau)
+    assert bool(oracle.ok)
+
+    coarse = jnp.linspace(0.0, 20.0, 201)
+    res = solve_dde_adaptive(
+        f, y0, coarse, tau, rtol=1e-6, atol=1e-8, trips_per_interval=10
+    )
+    assert bool(res.ok)
+    oracle_on_coarse = np.interp(
+        np.asarray(coarse), np.asarray(dense), np.asarray(oracle.ys)[:, 0]
+    )
+    got = np.asarray(res.ys)[:, 0]
+    scale = np.abs(oracle_on_coarse).max()
+    assert np.max(np.abs(got - oracle_on_coarse)) < 2e-4 * scale
+
+
+def test_dde_adaptive_budget_exhaustion_fails_soft():
+    from bcm3_tpu.ode.delay import solve_dde_adaptive
+
+    # stiff-ish fast decay needs more substeps than the budget allows at
+    # a tight tolerance -> trajectory must fail (NaN/ok=False), not hang
+    f = lambda t, y, yd, args: -4000.0 * y + yd
+    grid = jnp.linspace(0.0, 1.0, 6)
+    res = solve_dde_adaptive(
+        f, jnp.asarray([1.0]), grid, 10.0, rtol=1e-10, atol=1e-12,
+        trips_per_interval=3,
+    )
+    assert not bool(res.ok)
