@@ -109,6 +109,11 @@ class Experiment:
             node.get("solver_absolute_tolerance", str(4 * np.finfo(np.float32).eps))
         )
         self.max_solver_steps = int(node.get("solver_max_steps", "10000"))
+        # static per-segment adaptive-step budget (TPU-native extension):
+        # 0 = data-dependent while_loop stepping; >0 = fixed-trip fori
+        # lowering (see ode/dp5.py:_integrate_segment_fori), which is much
+        # faster inside vmapped sampling programs on TPU
+        self.solver_trips = int(node.get("solver_trips", "0"))
 
         # entry time: sampled variable, non-sampled parameter or fixed
         self.entry_time_ref = ValueRef(node.get("entry_time", "0"))
@@ -267,6 +272,7 @@ class Experiment:
             rtol=self.rtol,
             atol=self.atol,
             max_steps=self.max_solver_steps,
+            solver_trips=self.solver_trips or None,
             simulate_past_chromatid_separation_time=self.past_sep_time,
             max_sobol_index=len(self.sobol_normals) if total_dims else 0,
         )

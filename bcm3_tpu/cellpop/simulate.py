@@ -92,6 +92,10 @@ class PopulationConfig:
     rtol: float = 1e-6
     atol: float = 1e-6
     max_steps: int = 10000
+    # static per-segment adaptive-step budget: lowers the integrator to a
+    # fixed-trip fori_loop (ode/dp5.py:_integrate_segment_fori) instead of
+    # a masked while_loop — the fast shape for batched TPU execution
+    solver_trips: int | None = None
     simulate_past_chromatid_separation_time: float = 0.0
     max_sobol_index: int = 0  # 0 = no variability iterator
 
@@ -189,6 +193,9 @@ def simulate_population(
     solve = solve_at_times if cfg.solver == "DP5" else solve_at_times_stiff
 
     def integrate_one(y0, params, cy, creation):
+        kw = {}
+        if cfg.solver_trips:
+            kw["fixed_trips"] = cfg.solver_trips
         res = solve(
             rhs,
             y0,
@@ -197,6 +204,7 @@ def simulate_population(
             rtol=cfg.rtol,
             atol=cfg.atol,
             max_steps_per_segment=cfg.max_steps,
+            **kw,
         )
         return res.ys, res.ok
 

@@ -540,12 +540,19 @@ class PopPKLikelihood:
             (ke, kpf, kpb, k_transit, n_transit) = args_rest
             args = (ka, ke, kel, kpf, kpb, k_transit, n_transit)
 
+            S = j_grid.shape[0]
+
             def event(i, t, y, _args):
                 # at dose events: last_treatment <- t, dose level <- amount
-                # (only when the dose is actually given: amount > 0)
-                fire = j_is_dose[i] & (j_dose_amt[i] > 0)
+                # (only when the dose is actually given: amount > 0).
+                # one-hot mask instead of j_is_dose[i]: under the budget
+                # solver the index is per-lane traced, and per-lane dynamic
+                # gathers lower to scalar loops on TPU
+                oh = jnp.arange(S, dtype=jnp.int32) == i
+                fire = jnp.any(oh & j_is_dose & (j_dose_amt > 0))
+                amt = jnp.sum(jnp.where(oh, j_dose_amt, 0.0))
                 y = y.at[n].set(jnp.where(fire, t, y[n]))
-                y = y.at[n + 1].set(jnp.where(fire, j_dose_amt[i], y[n + 1]))
+                y = y.at[n + 1].set(jnp.where(fire, amt, y[n + 1]))
                 return y
 
             y0 = jnp.zeros(n_aug, dtype=dtype)

@@ -772,44 +772,51 @@ class SamplerPT:
         """Prior draws until every chain has a finite power posterior
         (reference: SamplerPTChain.cpp FindStartingPosition:188-215)."""
         C = self.num_chains
-        temps = jnp.asarray(self.temperatures, dtype=self.dtype)
+        temps = np.asarray(self.temperatures, dtype=np.float64)
 
-        @jax.jit
-        def attempt(carry, k):
-            x, lprior, llh, found = carry
-            draw = self.prior.sample(k, (C,)).astype(self.dtype)
-            dl, dllh = self._evaluate(draw)
-            lpp = self._lpp(dl, dllh, temps)
-            ok = jnp.isfinite(lpp)
-            take = ok & ~found
-            x = jnp.where(take[:, None], draw, x)
-            lprior = jnp.where(take, dl, lprior)
-            llh = jnp.where(take, dllh, llh)
-            return (x, lprior, llh, found | ok), None
+        # host loop with early exit, with the prior draw and the
+        # likelihood evaluation as SEPARATE jitted calls and the
+        # first-finite-draw selection in host numpy. Rationale: the first
+        # few draws almost always succeed (the reference's retry loop is
+        # also host-side, SamplerPTChain.cpp:188-215), and fusing
+        # sample+evaluate+selection into one jit program makes the remote
+        # TPU compiler's time blow up with the chain count on
+        # integrator-heavy likelihoods (measured: minutes at 16k chains,
+        # while the pieces compile in seconds)
+        sample_fn = jax.jit(
+            lambda k: self.prior.sample(k, (C,)).astype(self.dtype)
+        )
+        eval_fn = jax.jit(self._evaluate)
 
         keys = jax.random.split(key, self.config.initial_position_tries)
-        carry = (
-            jnp.zeros((C, self.num_variables), dtype=self.dtype),
-            jnp.full((C,), _NEG_INF, dtype=self.dtype),
-            jnp.full((C,), _NEG_INF, dtype=self.dtype),
-            jnp.zeros((C,), dtype=bool),
-        )
-        # host loop with early exit instead of a lax.scan over all tries:
-        # the first few draws almost always succeed, the per-try dispatch
-        # is microseconds, and it avoids compiling a tries-length scan
-        # around the full likelihood (the reference's retry loop is also
-        # host-side, SamplerPTChain.cpp:188-215)
+        x = np.zeros((C, self.num_variables))
+        lprior = np.full(C, _NEG_INF)
+        llh = np.full(C, _NEG_INF)
+        found = np.zeros(C, dtype=bool)
         for i in range(self.config.initial_position_tries):
-            carry, _ = attempt(carry, keys[i])
-            if (i < 4 or i % 8 == 7) and bool(jnp.all(carry[3])):
+            draw = sample_fn(keys[i])
+            dl, dllh = eval_fn(draw)
+            draw, dl, dllh = np.asarray(draw), np.asarray(dl), np.asarray(dllh)
+            with np.errstate(invalid="ignore"):
+                # power posterior with the T=0 convention (_lpp)
+                lpp = np.where(temps == 0.0, dl, dl + temps * dllh)
+            take = np.isfinite(lpp) & ~found
+            x[take] = draw[take]
+            lprior[take] = dl[take]
+            llh[take] = dllh[take]
+            found |= np.isfinite(lpp)
+            if found.all():
                 break
-        x, lprior, llh, found = carry
-        if not bool(jnp.all(found)):
+        if not found.all():
             raise RuntimeError(
                 "Could not find starting position with finite power posterior "
                 f"after {self.config.initial_position_tries} tries"
             )
-        return x, lprior, llh
+        return (
+            jnp.asarray(x, dtype=self.dtype),
+            jnp.asarray(lprior, dtype=self.dtype),
+            jnp.asarray(llh, dtype=self.dtype),
+        )
 
     def _init_state(self) -> PTState:
         k_start, k_run = jax.random.split(self._root_key)

@@ -53,9 +53,10 @@ NUM_ENSEMBLES_TRANSIT = int(os.environ.get("BENCH_ENSEMBLES_TRANSIT", "1024"))
 N_REPS = int(os.environ.get("BENCH_REPS", "3"))
 NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "100"))
 
-# TPU v5e (reported as "TPU v5 lite") peak: 197 TFLOP/s bf16. The sampler
-# runs float64 (statistical fidelity first), so MFU vs the bf16 peak is a
-# deliberately conservative utilization figure.
+# TPU v5e (reported as "TPU v5 lite") peak: 197 TFLOP/s bf16. The bench
+# computes in float32 (f64 tests run on CPU), so MFU vs the bf16 peak is
+# a deliberately conservative utilization figure; the workload is
+# VPU/control-flow heavy, not MXU-shaped, so small MFU is expected.
 PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
 
 
@@ -121,13 +122,18 @@ def measure_device_only(s, n_emit=20):
         flops_per_segment = float(compiled.cost_analysis()["flops"])
     except Exception:
         flops_per_segment = float("nan")
+    def sync(s_):
+        # block_until_ready is unreliable on tunneled (axon) devices —
+        # pulling a small value is the only true completion barrier
+        np.asarray(s_.att_mut)
+
     st, pr, ys = compiled(state, proposals)
-    jax.block_until_ready(st.x)
+    sync(st)
     reps = 3
     t0 = time.time()
     for _ in range(reps):
         st, pr, ys = compiled(st, pr)
-    jax.block_until_ready(st.x)
+    sync(st)
     dt = time.time() - t0
     evals_per_segment = n_emit * s.config.use_every_nth * s.num_chains
     return {
@@ -171,7 +177,26 @@ def main():
     peak = PEAK_FLOPS.get(device_kind)
 
     headline = bench_config("one", NUM_ENSEMBLES)
-    transit = bench_config("one_transit", NUM_ENSEMBLES_TRANSIT)
+    print(
+        f"# headline done: {headline['evals_per_sec']:.0f} evals/s",
+        file=sys.stderr,
+        flush=True,
+    )
+    try:
+        transit = bench_config("one_transit", NUM_ENSEMBLES_TRANSIT)
+    except Exception as e:  # keep the headline even if the transit
+        # config hits an infrastructure failure (tunneled-TPU compiles
+        # of the integrator program are the flaky part)
+        print(f"# transit config failed: {e!r}", file=sys.stderr, flush=True)
+        nan = float("nan")
+        transit = {
+            "evals_per_sec": nan,
+            "evals_per_sec_reps": [],
+            "device_evals_per_sec": nan,
+            "flops_per_eval": nan,
+            "device_flops_per_sec": nan,
+            "num_ensembles": NUM_ENSEMBLES_TRANSIT,
+        }
 
     base = {}
     baseline_file = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
@@ -181,7 +206,9 @@ def main():
 
     def ratio(v, key):
         ref = base.get(key)
-        return round(v / ref, 3) if ref else None
+        if not ref or v != v:
+            return None
+        return round(v / ref, 3)
 
     def mfu(r):
         if peak and r["device_flops_per_sec"] == r["device_flops_per_sec"]:

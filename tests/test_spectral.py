@@ -120,3 +120,54 @@ def test_clustered_covariance_posterior():
     # TestLikelihoodMultimodalGaussians.cpp:24-41)
     assert np.allclose(m1, [-5, -5], atol=0.6), m1
     assert np.allclose(m2, [5, 5], atol=0.6), m2
+
+
+@pytest.mark.slow
+def test_clustered_parity_statistics():
+    """Mixing/acceptance parity for the documented batching deviations
+    (shared block structure + one pooled spectral fit across chains vs the
+    reference's per-chain structures, SamplerPTChain.cpp:109-173): after
+    adaptation, the T=1 chain's mutate acceptance must sit near the
+    reference's dimension-dependent target band (0.35 for 2-D blocks,
+    Proposal.cpp:47-55, with the same EMA scale adaptation), the sampler
+    must mix between the modes, and the effective sample size must be a
+    non-degenerate fraction of the chain length."""
+    from bcm3_tpu.analysis import effective_sample_size
+
+    prior, lik = _setup("multimodal_gaussians")
+    cfg = PTConfig(
+        num_samples=2000,
+        use_every_nth=2,
+        num_chains=4,
+        proposal_type="clustered_covariance",
+        blocking_strategy="clustered_autoblock",
+        adapt_proposal_samples=500,
+        adapt_proposal_times=2,
+        sample_clustering_num_clusters=2,
+        swapping_scheme="deterministic_even_odd",
+        seed=11,
+    )
+    s = SamplerPT(prior, lik, cfg)
+    res = s.run()
+
+    acc = res["acceptance"]
+    rate_t1 = acc["accepted_mutate"][-1] / acc["attempted_mutate"][-1]
+    # the scale EMA drives toward 0.35 (2-D blocks); accept a band around
+    # it wide enough for the run length but excluding degenerate mixing
+    assert 0.15 < rate_t1 < 0.6, rate_t1
+
+    x = res["samples"][1000:, -1, :]
+    # mode switches actually happen on the cold chain (exchange moves)
+    signs = np.sign(x[:, 0])
+    switches = np.sum(signs[1:] != signs[:-1])
+    assert switches > 5, switches
+
+    ess0 = effective_sample_size(x[:, 0])
+    assert ess0 > 30, ess0
+
+    # exchange acceptance at T=1 is gated by the power-3 ladder's large
+    # top gap (T: 0.296 -> 1) on well-separated modes — the reference
+    # would show the same for this ladder; require only that swaps do
+    # land at a non-degenerate rate
+    exch_t1 = acc["accepted_exchange"][-1] / max(acc["attempted_exchange"][-1], 1)
+    assert exch_t1 > 0.01, exch_t1
