@@ -579,8 +579,11 @@ class PopPKLikelihood:
                 atol=float(np.min(self.trial.dose)) * 1e-6,
                 total_trips=self.solver_trips,
                 min_dt=1e-5,
+                # record only the central compartment: the recorded buffer
+                # is the solve's main HBM traffic at large batch
+                record=lambda y: y[1],
             )
-            ys = jnp.where(res.ok, res.ys[:, 1], jnp.nan)  # central (S,)
+            ys = jnp.where(res.ok, res.ys, jnp.nan)  # central (S,)
             return ys
 
         ke = p["ke"]

@@ -242,6 +242,7 @@ def solve_at_times_budget(
     total_trips: int = 768,
     first_dt: float = 1e-2,
     min_dt: float = 0.0,
+    record: Optional[Callable] = None,
 ) -> DP5Result:
     """`solve_at_times` with a single whole-trajectory step budget.
 
@@ -262,10 +263,18 @@ def solve_at_times_budget(
 
     Lanes that exhaust the budget fail (NaN -> -inf -> rejection), the
     reference's max-steps soft-fail convention.
+
+    ``record``: optional ``y -> recorded`` projection applied to the
+    state before storing it at each stop. The per-trip masked write of
+    the recorded buffer is the loop's main memory traffic (the rest of
+    the carry lives in registers), so recording only what the caller
+    scores (e.g. one compartment) directly raises the HBM-bound
+    throughput ceiling of large batched solves.
     """
     S = stop_times.shape[0]
     dtype = y0.dtype
-    n = y0.shape[0]
+    if record is None:
+        record = lambda y: y
 
     def event(i, t, y):
         if event_fn is None:
@@ -273,7 +282,10 @@ def solve_at_times_budget(
         return event_fn(i, t, y, args)
 
     t0 = stop_times[0]
-    ys0 = jnp.full((S, n), jnp.nan, dtype=dtype).at[0].set(y0)
+    rec0 = record(y0)
+    ys0 = (
+        jnp.full((S,) + rec0.shape, jnp.nan, dtype=dtype).at[0].set(rec0)
+    )
     y_init = event(0, t0, y0)
     iota_s = jnp.arange(S, dtype=jnp.int32)
 
@@ -311,9 +323,9 @@ def solve_at_times_budget(
         reached = accept & (t_new >= t1)
         # record the state at the stop (one-hot masked write), then apply
         # the event jump
-        ys = jnp.where(
-            (onehot & reached)[:, None], y_new[None, :], ys
-        )
+        rec = record(y_new)
+        mask = (onehot & reached).reshape((S,) + (1,) * rec.ndim)
+        ys = jnp.where(mask, rec[None], ys)
         y_after = event(seg_c, t1, y_new)
         y_new = jnp.where(reached, y_after, y_new)
         seg = seg + reached.astype(jnp.int32)

@@ -117,3 +117,37 @@ folder={tmp_path}/out
     np.testing.assert_allclose(
         evaluated, res["log_likelihood"][30:, -1], rtol=1e-9
     )
+
+
+def test_data_reference(tmp_path):
+    """Generic NetCDF data-value resolver (reference:
+    src/sampler/DataReference.cpp — an orphaned utility there, provided
+    for interface completeness): named dimensions in any order, index
+    labels resolved against dimension coordinate values."""
+    import h5py
+
+    from bcm3_tpu.io.data_reference import data_reference
+
+    fn = str(tmp_path / "ref.nc")
+    with h5py.File(fn, "w") as f:
+        g = f.create_group("grp")
+        pat = g.create_dataset(
+            "patient", data=np.array([b"p1", b"p2", b"p3"])
+        )
+        tm = g.create_dataset("time", data=np.array([0.0, 1.5, 3.0, 4.5]))
+        v = g.create_dataset("conc", data=np.arange(12.0).reshape(3, 4))
+        pat.make_scale("patient")
+        tm.make_scale("time")
+        v.dims[0].attach_scale(pat)
+        v.dims[1].attach_scale(tm)
+
+    got = data_reference(fn, "grp", "conc", ["patient", "time"], ["p2", "3.0"])
+    assert got == 6.0
+    # dimension order in the reference spec may differ from the variable's
+    got = data_reference(fn, "grp", "conc", ["time", "patient"], ["1.5", "p3"])
+    assert got == 9.0
+
+    with pytest.raises(ValueError):
+        data_reference(fn, "grp", "conc", ["patient"], ["p2"])
+    with pytest.raises(KeyError):
+        data_reference(fn, "grp", "conc", ["patient", "time"], ["p9", "3.0"])
