@@ -579,11 +579,12 @@ class PopPKLikelihood:
                 atol=float(np.min(self.trial.dose)) * 1e-6,
                 total_trips=self.solver_trips,
                 min_dt=1e-5,
-                # record only the central compartment: the recorded buffer
-                # is the solve's main HBM traffic at large batch
-                record=lambda y: y[1],
+                # note: recording only y[1] via the record projection
+                # measured 6x SLOWER on TPU (scalar-per-lane recording
+                # defeats the vectorizer's layout choice for the masked
+                # write); full-state recording is the fast configuration
             )
-            ys = jnp.where(res.ok, res.ys, jnp.nan)  # central (S,)
+            ys = jnp.where(res.ok, res.ys[:, 1], jnp.nan)  # central (S,)
             return ys
 
         ke = p["ke"]
