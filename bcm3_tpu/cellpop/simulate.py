@@ -193,9 +193,29 @@ def simulate_population(
     solve = solve_at_times if cfg.solver == "DP5" else solve_at_times_stiff
 
     def integrate_one(y0, params, cy, creation):
-        kw = {}
         if cfg.solver_trips:
-            kw["fixed_trips"] = cfg.solver_trips
+            # whole-trajectory step budget in a static fori_loop — the
+            # fast lowering for batched TPU execution (stiff transients
+            # concentrate steps in few segments, so the budget is global)
+            if cfg.solver == "DP5":
+                from bcm3_tpu.ode.dp5 import solve_at_times_budget
+
+                res = solve_at_times_budget(
+                    rhs, y0, grid, args=(params, cy, creation),
+                    rtol=cfg.rtol, atol=cfg.atol,
+                    total_trips=cfg.solver_trips,
+                )
+            else:
+                from bcm3_tpu.ode.rosenbrock import (
+                    solve_at_times_stiff_budget,
+                )
+
+                res = solve_at_times_stiff_budget(
+                    rhs, y0, grid, args=(params, cy, creation),
+                    rtol=cfg.rtol, atol=cfg.atol,
+                    total_trips=cfg.solver_trips,
+                )
+            return res.ys, res.ok
         res = solve(
             rhs,
             y0,
@@ -204,7 +224,6 @@ def simulate_population(
             rtol=cfg.rtol,
             atol=cfg.atol,
             max_steps_per_segment=cfg.max_steps,
-            **kw,
         )
         return res.ys, res.ok
 

@@ -62,6 +62,65 @@ class StiffResult(NamedTuple):
     n_steps: jax.Array  # () int32
 
 
+def _small_lu(G):
+    """Unrolled LU factorization with partial pivoting for small static n.
+
+    The reference backs CVODE with Eigen's PartialPivLU
+    (src/odecommon/LinearAlgebraSelector.h); XLA's generic `lu` lowering
+    for tiny matrices inside vmapped loops is select/gather heavy, while
+    this fully unrolled form (n is static and small — cell models have
+    2-16 species) is straight-line vector code. Pivot swaps are masked
+    row selects. Returns (LU combined, pivot one-hot masks)."""
+    n = G.shape[0]
+    idx = jnp.arange(n)
+    A = G
+    perms = []
+    for k in range(n - 1):
+        col = jnp.where(idx >= k, jnp.abs(A[:, k]), -jnp.inf)
+        p = jnp.argmax(col)
+        onehot_p = idx == p
+        # swap rows k and p via masked selects
+        row_p = jnp.sum(jnp.where(onehot_p[:, None], A, 0.0), axis=0)
+        row_k = A[k]
+        A = jnp.where((idx == k)[:, None], row_p[None, :], A)
+        A = jnp.where(onehot_p[:, None], row_k[None, :], A)
+        perms.append(onehot_p)
+        below = idx > k
+        factors = jnp.where(below, A[:, k] / A[k, k], 0.0)
+        # update only columns >= k (columns < k hold stored multipliers)
+        A = A - factors[:, None] * jnp.where(
+            (idx >= k)[None, :], A[k][None, :], 0.0
+        )
+        # store the multipliers in the lower triangle (the elimination
+        # zeroed the column below the diagonal exactly)
+        A = A.at[:, k].set(jnp.where(below, factors, A[:, k]))
+    return A, perms
+
+
+def _small_solve(LU, perms, b):
+    """Solve with the factors from `_small_lu` (unrolled)."""
+    n = b.shape[0]
+    idx = jnp.arange(n)
+    x = b
+    # apply row swaps in order
+    for k, onehot_p in enumerate(perms):
+        xk = x[k]
+        xp = jnp.sum(jnp.where(onehot_p, x, 0.0))
+        x = jnp.where(idx == k, xp, x)
+        x = jnp.where(onehot_p, xk, x)
+    # forward substitution (unit lower triangle holds multipliers)
+    for i in range(1, n):
+        x = x.at[i].add(-jnp.dot(LU[i, :i], x[:i]))
+    # back substitution
+    y = x
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        if i + 1 < n:
+            s = s - jnp.dot(LU[i, i + 1 :], y[i + 1 :])
+        y = y.at[i].set(s / LU[i, i])
+    return y
+
+
 def _rosenbrock_step(f, t, y, h, args):
     """One RODAS3 step. Returns (y_new, err_vec)."""
     n = y.shape[0]
@@ -71,7 +130,12 @@ def _rosenbrock_step(f, t, y, h, args):
     ft = jax.jacfwd(lambda tt: f(tt, y, args))(t)
 
     G = eye / (h * _GAMMA) - J
-    lu = lu_factor(G)
+    if n <= 16:
+        LU, perms = _small_lu(G)
+        solve = lambda rhs: _small_solve(LU, perms, rhs)
+    else:
+        lu = lu_factor(G)
+        solve = lambda rhs: lu_solve(lu, rhs)
 
     ks = []
     for i in range(4):
@@ -82,7 +146,7 @@ def _rosenbrock_step(f, t, y, h, args):
         rhs = fi + _GAMMA_I[i] * h * ft
         for j in range(i):
             rhs = rhs + (_C[i, j] / h) * ks[j]
-        ks.append(lu_solve(lu, rhs))
+        ks.append(solve(rhs))
 
     k = jnp.stack(ks)  # (4, n)
     y_new = y + jnp.tensordot(jnp.asarray(_M, dtype=y.dtype), k, axes=1)
@@ -221,3 +285,87 @@ def solve_at_times_stiff(
     )
     ys = jnp.concatenate([y0[None, :], ys], axis=0)
     return StiffResult(ys=ys, ok=ok, n_steps=total_steps)
+
+
+def solve_at_times_stiff_budget(
+    f: Callable,
+    y0,
+    stop_times,
+    args=None,
+    rtol: float = 1e-6,
+    atol: float = 1e-9,
+    total_trips: int = 1024,
+    first_dt: float = 1e-4,
+) -> StiffResult:
+    """Whole-trajectory step-budget form of `solve_at_times_stiff`.
+
+    The stiff twin of `bcm3_tpu.ode.dp5.solve_at_times_budget`: ONE
+    static `lax.fori_loop` of `total_trips` Rosenbrock steps with a
+    stop-time pointer per lane and one-hot recording, instead of
+    scan-over-segments x bounded-loop-per-segment. Stiff transients
+    concentrate steps in a few segments, so a per-segment budget either
+    starves them or wastes trips everywhere else; the global budget
+    matches where the work actually is, and the static trip count is
+    the fast lowering for batched TPU execution (see the DP5 twin for
+    measurements). No event hook — cellpop-style solves only record at
+    stop times (events are detected post-hoc from the trajectories).
+    """
+    S = stop_times.shape[0]
+    dtype = y0.dtype
+    n = y0.shape[0]
+    iota_s = jnp.arange(S, dtype=jnp.int32)
+    t0 = stop_times[0]
+    ys0 = jnp.full((S, n), jnp.nan, dtype=dtype).at[0].set(y0)
+
+    def body(_i, carry):
+        t, y, dt, seg, ys, ok = carry
+        seg_c = jnp.minimum(seg, S - 1)
+        onehot = iota_s == seg_c
+        t1 = jnp.sum(jnp.where(onehot, stop_times, 0.0))
+        active = (seg < S) & ok
+        remaining = jnp.maximum(t1 - t, 0.0)
+        clipped = dt >= remaining
+        # zero-length remainder: use a tiny step so G = I/(h*gamma) - J
+        # stays finite; the step is then trivially accepted below
+        dt_step = jnp.maximum(jnp.minimum(dt, remaining), 1e-30)
+        y_new, err = _rosenbrock_step(f, t, y, dt_step, args)
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+        err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+        err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)
+        err_norm = jnp.where(remaining > 0, err_norm, 0.0)
+        y_new = jnp.where(remaining > 0, y_new, y)
+        accept = (err_norm <= 1.0) & active
+        factor = jnp.clip(
+            _SAFETY * (err_norm + 1e-30) ** (-1.0 / _ORDER),
+            _MIN_FACTOR,
+            _MAX_FACTOR,
+        )
+        new_dt = jnp.where(
+            active, jnp.where(clipped & accept, dt, dt_step * factor), dt
+        )
+        t_new = jnp.where(accept, jnp.where(clipped, t1, t + dt_step), t)
+        y_new = jnp.where(accept, y_new, y)
+        reached = accept & (t_new >= t1)
+        ys = jnp.where((onehot & reached)[:, None], y_new[None, :], ys)
+        seg = seg + reached.astype(jnp.int32)
+        ok = ok & (
+            ~active
+            | (
+                jnp.all(jnp.isfinite(y_new))
+                & (new_dt > 1e-14 * jnp.maximum(jnp.abs(t1), 1.0))
+            )
+        )
+        return (t_new, y_new, new_dt, seg, ys, ok)
+
+    init = (
+        t0,
+        y0,
+        jnp.asarray(first_dt, dtype),
+        jnp.int32(1),
+        ys0,
+        jnp.asarray(True),
+    )
+    t, y, dt, seg, ys, ok = jax.lax.fori_loop(0, total_trips, body, init)
+    ok = ok & (seg >= S)
+    ys = jnp.where(ok, ys, jnp.full_like(ys, jnp.nan))
+    return StiffResult(ys=ys, ok=ok, n_steps=jnp.int32(total_trips))
