@@ -108,15 +108,18 @@ def _small_solve(LU, perms, b):
         xp = jnp.sum(jnp.where(onehot_p, x, 0.0))
         x = jnp.where(idx == k, xp, x)
         x = jnp.where(onehot_p, xk, x)
-    # forward substitution (unit lower triangle holds multipliers)
+    # forward substitution (unit lower triangle holds multipliers).
+    # explicit multiply+sum instead of jnp.dot: on TPU the default dot
+    # precision routes through bf16 MXU multiplies, which destroys the
+    # error-controller's step estimates in float32 runs
     for i in range(1, n):
-        x = x.at[i].add(-jnp.dot(LU[i, :i], x[:i]))
+        x = x.at[i].add(-jnp.sum(LU[i, :i] * x[:i]))
     # back substitution
     y = x
     for i in range(n - 1, -1, -1):
         s = y[i]
         if i + 1 < n:
-            s = s - jnp.dot(LU[i, i + 1 :], y[i + 1 :])
+            s = s - jnp.sum(LU[i, i + 1 :] * y[i + 1 :])
         y = y.at[i].set(s / LU[i, i])
     return y
 
@@ -130,7 +133,9 @@ def _rosenbrock_step(f, t, y, h, args):
     ft = jax.jacfwd(lambda tt: f(tt, y, args))(t)
 
     G = eye / (h * _GAMMA) - J
-    if n <= 16:
+    import os as _os
+
+    if n <= 16 and _os.environ.get("BCM3_SMALL_LU", "1") != "0":
         LU, perms = _small_lu(G)
         solve = lambda rhs: _small_solve(LU, perms, rhs)
     else:
@@ -148,9 +153,15 @@ def _rosenbrock_step(f, t, y, h, args):
             rhs = rhs + (_C[i, j] / h) * ks[j]
         ks.append(solve(rhs))
 
-    k = jnp.stack(ks)  # (4, n)
-    y_new = y + jnp.tensordot(jnp.asarray(_M, dtype=y.dtype), k, axes=1)
-    err = jnp.tensordot(jnp.asarray(_E, dtype=y.dtype), k, axes=1)
+    # unrolled stage combination (static coefficients; avoids a
+    # bf16-MXU tensordot on TPU float32 runs)
+    y_new = y
+    err = jnp.zeros_like(y)
+    for i in range(4):
+        if _M[i] != 0.0:
+            y_new = y_new + _M[i] * ks[i]
+        if _E[i] != 0.0:
+            err = err + _E[i] * ks[i]
     return y_new, err
 
 

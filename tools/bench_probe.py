@@ -1,5 +1,9 @@
 """One-off probe: where does bench wall-clock go on the tunneled TPU?
 
+CAVEAT (learned later): block_until_ready is unreliable on tunneled axon
+devices — the "device-only" sections below can under-report; prefer a
+small np.asarray value pull as the sync barrier (see bench.py).
+
 Measures, for the bench.py PopPK config:
   a) device-only segment time (no sample pulls, block on final state)
      at several chunkings, isolating dispatch-latency effects

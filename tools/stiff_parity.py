@@ -186,12 +186,12 @@ def main():
             0.05 * jax.random.normal(jax.random.PRNGKey(0), (batch, len(P0)))
         )
         fb = jax.jit(jax.vmap(lambda p: solve(p).ys[-1]))
-        out = jax.block_until_ready(fb(pb))  # compile
+        out = np.asarray(fb(pb))  # compile (+ true sync)
         t0 = time.time()
         reps = 5
         for _ in range(reps):
             out = fb(pb)
-        jax.block_until_ready(out)
+        np.asarray(out)  # value pull = true sync on tunneled devices too
         wall_batched = (time.time() - t0) / reps / batch
         rows.append((label, steps, err.max(), wall_batched, batch))
         return ok
