@@ -631,6 +631,70 @@ class PopPKLikelihood:
         bad = jnp.any(jnp.where(window, jnp.isnan(x), False)) | jnp.isnan(logp)
         return jnp.where(bad, -jnp.inf, logp)
 
+    def _log_prob_batched_transit_pallas(self, xs):
+        """One-compartment-transit batched evaluation through the fused
+        Pallas budget-DP5 kernel (bcm3_tpu/ops/transit_pallas.py): the
+        whole trip loop runs in one Mosaic program with the integrator
+        state in vector registers and the recorded stop buffer in VMEM —
+        the XLA lowering keeps that buffer in HBM, whose per-trip masked
+        rewrite bounds large-batch throughput. Same tableau, controller,
+        tolerances and soft-fail semantics as the solve_at_times_budget
+        path; opt-in via BCM3_TRANSIT_PALLAS=1."""
+        from bcm3_tpu.ops.transit_pallas import transit_solve_pallas
+
+        B = xs.shape[0]
+        P = self.trial.num_patients
+        dtype = xs.dtype
+        p, sd, sd2 = jax.vmap(self._patient_params)(xs)
+
+        def flat(x):
+            if x.ndim == 1:
+                x = x[:, None]
+            return jnp.broadcast_to(x, (B, P)).reshape(B * P)
+
+        params = {
+            "ka": flat(p["ka"]),
+            "ke": flat(p["ke"]),
+            "kel": flat(p["kel"]),
+            "k_transit": flat(p["k_transit"]),
+            "n_transit": flat(p["n_transit"]),
+            "dose0": jnp.tile(jnp.asarray(self.initial_dose, dtype), B),
+        }
+        grid = jnp.tile(jnp.asarray(self.tr_grid, dtype), (B, 1))
+        amt = jnp.tile(
+            jnp.asarray(
+                np.where(self.tr_is_dose, self.tr_dose_amt, 0.0), dtype
+            ),
+            (B, 1),
+        )
+        central, ok = transit_solve_pallas(
+            params,
+            grid,
+            amt,
+            trips=self.solver_trips,
+            rtol=1e-6,
+            atol=float(np.min(self.trial.dose)) * 1e-6,
+            min_dt=1e-5,
+        )
+        S = self.tr_grid.shape[1]
+        central = central.reshape(B, P, S)
+        ok = ok.reshape(B, P)
+        pidx = jnp.arange(P)[:, None]
+        central_obs = central[:, pidx, jnp.asarray(self.tr_obs_pos)]  # (B,P,T)
+        central_obs = jnp.where(ok[:, :, None], central_obs, jnp.nan)
+
+        conversion = (self.conversion_base / p["vod"]).reshape(B, 1, 1)
+        x = central_obs * conversion
+        obs = jnp.asarray(self.trial.observed, dtype=dtype)[None]
+        mask = jnp.asarray(self.obs_mask)[None]
+        sigma = sd.reshape(B, 1, 1) + sd2.reshape(B, 1, 1) * jnp.maximum(x, 0.0)
+        pointwise = log_pdf_tnu4(x, obs, sigma)
+        logp = jnp.sum(jnp.where(mask, pointwise, 0.0), axis=(1, 2))
+        window = jnp.asarray(self.window_mask)[None]
+        bad = jnp.any(jnp.where(window, jnp.isnan(x), False), axis=(1, 2))
+        bad = bad | jnp.isnan(logp)
+        return jnp.where(bad, -jnp.inf, logp)
+
     def log_prob_batched(self, xs):
         """Natively batched evaluation over a chain population xs (B, D).
 
@@ -649,6 +713,11 @@ class PopPKLikelihood:
 
         P = self.trial.num_patients
         B = xs.shape[0]
+        if (
+            self.pk_type == "one_transit"
+            and os.environ.get("BCM3_TRANSIT_PALLAS", "0") == "1"
+        ):
+            return self._log_prob_batched_transit_pallas(xs)
         if (
             os.environ.get("BCM3_POPPK_PALLAS", "0") != "1"
             or self.pk_type != "one"

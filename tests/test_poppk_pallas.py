@@ -84,3 +84,51 @@ def test_poppk_log_prob_batched_matches_vmap(tmp_path, monkeypatch):
         np.asarray(jax.vmap(lik.log_prob)(xs3)),
         rtol=1e-12,
     )
+
+
+def _transit_setup(tmp_path, P=4, T=10):
+    import os
+
+    from bcm3_tpu.likelihoods import create_likelihood
+    from bcm3_tpu.likelihoods.poppk_synth import (
+        synthesize_trial,
+        write_poppk_likelihood_xml,
+        write_poppk_prior_xml,
+    )
+    from bcm3_tpu.model.prior import Prior
+    from bcm3_tpu.model.variables import VariableSet
+
+    trial, truth = synthesize_trial(num_patients=P, num_timepoints=T, seed=7)
+    pk = os.path.join(tmp_path, "pkdata.nc")
+    trial.save(pk, "TRIAL1", "lapatinib")
+    write_poppk_prior_xml(os.path.join(tmp_path, "prior.xml"), P, "one_transit")
+    write_poppk_likelihood_xml(
+        os.path.join(tmp_path, "lik.xml"), pk, "TRIAL1", "lapatinib",
+        "one_transit",
+    )
+    vs = VariableSet.from_xml(os.path.join(tmp_path, "prior.xml"))
+    prior = Prior.from_xml(os.path.join(tmp_path, "prior.xml"), vs)
+    lik = create_likelihood(os.path.join(tmp_path, "lik.xml"), vs)
+    return prior, lik
+
+
+def test_transit_pallas_matches_vmap_path(tmp_path, monkeypatch):
+    """The fused transit kernel (ops/transit_pallas.py) must agree with
+    the solve_at_times_budget likelihood path — same tableau, controller
+    and soft-fail semantics (interpreter mode on CPU)."""
+    prior, lik = _transit_setup(str(tmp_path))
+    m = lik.model
+    xs = prior.sample(jax.random.PRNGKey(2), (6,))
+
+    ref = np.asarray(jax.vmap(m.log_prob)(xs))
+
+    monkeypatch.setenv("BCM3_TRANSIT_PALLAS", "1")
+    got = np.asarray(m.log_prob_batched(xs))
+
+    fin_r, fin_g = np.isfinite(ref), np.isfinite(got)
+    # soft-fail sets must agree (same budget, same controller)
+    np.testing.assert_array_equal(fin_r, fin_g)
+    if fin_r.any():
+        np.testing.assert_allclose(
+            got[fin_r], ref[fin_r], rtol=5e-3, atol=1e-2
+        )
