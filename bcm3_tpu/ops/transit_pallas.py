@@ -89,7 +89,10 @@ def _kernel(S, trips, rtol, atol, min_dt, first_dt,
     t0 = grid_ref[0]
 
     def body(_i, carry):
-        t, gut, cen, lt, dose, dt, seg, ok = carry
+        # ok is carried as a float mask: Mosaic rejects i1 vectors in
+        # loop carries (scf.yield layout crash)
+        t, gut, cen, lt, dose, dt, seg, okf = carry
+        ok = okf > 0.5
         seg_c = jnp.minimum(seg, S - 1)
         # one-hot gathers over the (static) stop axis
         t1 = zero
@@ -160,7 +163,8 @@ def _kernel(S, trips, rtol, atol, min_dt, first_dt,
             jnp.isfinite(gut) & jnp.isfinite(cen) & (new_dt > min_dt)
         )
         ok = ok & (~active | finite)
-        return (t_new, gut, cen, lt, dose, new_dt, seg, ok)
+        return (t_new, gut, cen, lt, dose, new_dt, seg,
+                jnp.where(ok, 1.0, 0.0).astype(f32))
 
     init = (
         t0,
@@ -170,13 +174,13 @@ def _kernel(S, trips, rtol, atol, min_dt, first_dt,
         dose0,
         jnp.full(shp, first_dt, f32),
         jnp.ones(shp, jnp.int32),
-        jnp.ones(shp, jnp.bool_),
+        jnp.ones(shp, f32),
     )
-    t, gut, cen, lt, dose, dt, seg, ok = jax.lax.fori_loop(
+    t, gut, cen, lt, dose, dt, seg, okf = jax.lax.fori_loop(
         0, trips, body, init
     )
-    ok = ok & (seg >= S)
-    ok_ref[:] = ok
+    ok = (okf > 0.5) & (seg >= S)
+    ok_ref[:] = jnp.where(ok, 1.0, 0.0).astype(f32)
     # wipe failed lanes to NaN
     nanv = jnp.full(shp, jnp.nan, f32)
     for s in range(S):
@@ -204,7 +208,7 @@ def _solve_call(ka, ke, kel, kt, nt, dose0, grid, amt,
     s_spec = pl.BlockSpec((S, bm, 128), lambda i: (0, i, 0))
     out_shape = [
         jax.ShapeDtypeStruct((S, R, 128), ka.dtype),
-        jax.ShapeDtypeStruct((R, 128), jnp.bool_),
+        jax.ShapeDtypeStruct((R, 128), ka.dtype),  # ok as f32 mask
     ]
     return pl.pallas_call(
         functools.partial(
@@ -262,5 +266,5 @@ def transit_solve_pallas(
         first_dt=first_dt, interpret=bool(interpret),
     )
     central = jnp.moveaxis(central, 0, -1).reshape(R * 128, S)[:L]
-    ok = ok.reshape(R * 128)[:L]
+    ok = (ok > 0.5).reshape(R * 128)[:L]
     return central, ok
