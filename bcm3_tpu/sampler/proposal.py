@@ -305,28 +305,35 @@ def build_block_proposal(
     t_dof: float = 0.0,
     proposal_type: str = "gaussian_mixture",
 ) -> BlockProposal:
-    """Assemble a stacked BlockProposal from per-chain host GMM fits.
+    """Assemble a stacked BlockProposal from host GMM fits.
 
-    ``gmms`` is a list of length num_chains of bcm3_tpu.stats.gmm.GMM
-    (one per chain; chains whose fit failed should already carry the
-    prior-variance fallback). Components are padded to the max K.
+    ``gmms`` is a list of bcm3_tpu.stats.gmm.GMM objects: either one per
+    chain (len == num_chains) or one per LADDER POSITION shared by every
+    ensemble (len == num_chains / num_ensembles). The mixture parameters
+    (means/chols/weights) are stored at the length of ``gmms`` — storing
+    them per chain is the dominant HBM cost of large ensemble runs
+    (measured 3.2 GiB at 32k ensembles, see BASELINE.md) — while the
+    acceptance-EMA scale state is always per chain (the reference adapts
+    scales per chain, Proposal.cpp:201-222). Components are padded to
+    the max K; fit-failed entries should already carry the
+    prior-variance fallback.
     """
     K = max(g.num_components for g in gmms)
     d = block_dim
-    means = np.zeros((num_chains, K, d))
-    chols = np.tile(np.eye(d), (num_chains, K, 1, 1))
-    inv_chols = np.tile(np.eye(d), (num_chains, K, 1, 1))
-    log_w = np.full((num_chains, K), -np.inf)
-    log_c = np.zeros((num_chains, K))
+    n_mix = len(gmms)
+    means = np.zeros((n_mix, K, d))
+    chols = np.tile(np.eye(d), (n_mix, K, 1, 1))
+    inv_chols = np.tile(np.eye(d), (n_mix, K, 1, 1))
+    log_w = np.full((n_mix, K), -np.inf)
+    log_c = np.zeros((n_mix, K))
     scales = np.full((num_chains, K), 2.38 / np.sqrt(d))
     ta = target_acceptance_rate(d)
     acc_ema = np.full((num_chains, K), ta)
 
     from scipy.linalg import solve_triangular as _host_trsm
 
-    # the engine passes the same C ladder GMM objects repeated per
-    # ensemble (pt.py: ladder_gmms * E) — invert each distinct GMM's
-    # factors once, not once per chain
+    # distinct GMM objects may repeat (legacy per-chain lists):
+    # invert each distinct GMM's factors once
     inv_cache: dict[int, np.ndarray] = {}
     for c, g in enumerate(gmms):
         k = g.num_components

@@ -398,7 +398,7 @@ class SamplerPT:
         for block in blocks:
             fallback = self._fallback_gmm(block)
             prop = prop_mod.build_block_proposal(
-                [fallback] * self.num_chains,
+                [fallback] * self.ladder_size,
                 self.num_chains,
                 len(block),
                 self.dtype,
@@ -462,6 +462,82 @@ class SamplerPT:
         )
         return dataclasses.replace(state, history=new_hist, hist_adds=n)
 
+    _PROP_SHARED = ("means", "chols", "inv_chols", "log_weights", "log_c")
+    _PROP_PER_CHAIN = ("scales", "acc_ema", "selected")
+
+    def _prop_apply(self, fn, prop, *args, returns_prop=False):
+        """vmap ``fn(per_chain_prop, *args)`` over the chain population.
+
+        Mixture parameters (means/chols/...) are stored once per LADDER
+        POSITION and broadcast to every ensemble through a nested vmap
+        with in_axes=None — never materialized at (C, ...). Storing them
+        per chain was the dominant HBM cost of large ensemble runs
+        (3.2 GiB at 32k ensembles, BASELINE.md). Per-chain scale/EMA
+        state batches normally. Falls back to a flat vmap when the
+        proposal carries legacy per-chain mixture arrays (old
+        checkpoints).
+        """
+        C = self.num_chains
+        E, L = self.num_ensembles, self.ladder_size
+        if prop.means.shape[0] == C and E > 1:
+            # legacy layout: everything per chain
+            out = jax.vmap(fn)(prop, *args)
+            if returns_prop:
+                return dataclasses.replace(
+                    prop,
+                    **{f: getattr(out, f) for f in self._PROP_PER_CHAIN},
+                )
+            return out
+
+        shared = tuple(getattr(prop, f) for f in self._PROP_SHARED)
+        per = tuple(
+            getattr(prop, f).reshape((E, L) + getattr(prop, f).shape[1:])
+            for f in self._PROP_PER_CHAIN
+        )
+        argsr = tuple(a.reshape((E, L) + a.shape[1:]) for a in args)
+        static = dict(
+            t_dof=prop.t_dof,
+            target_accept=prop.target_accept,
+            update_rule=prop.update_rule,
+            symmetric=prop.symmetric,
+            clustered=prop.clustered,
+        )
+
+        def call(sh, pc, *aa):
+            p = BlockProposal(
+                **dict(zip(self._PROP_SHARED, sh)),
+                **dict(zip(self._PROP_PER_CHAIN, pc)),
+                **static,
+            )
+            out = fn(p, *aa)
+            if returns_prop:
+                return tuple(getattr(out, f) for f in self._PROP_PER_CHAIN)
+            return out
+
+        inner = jax.vmap(call, in_axes=(0, 0) + (0,) * len(args))
+        outer = jax.vmap(inner, in_axes=(None, 0) + (0,) * len(args))
+        out = outer(shared, per, *argsr)
+        out = jax.tree_util.tree_map(
+            lambda a: a.reshape((C,) + a.shape[2:]), out
+        )
+        if returns_prop:
+            return dataclasses.replace(
+                prop, **dict(zip(self._PROP_PER_CHAIN, out))
+            )
+        return out
+
+    def _prop_mask_per_chain(self, new_prop, old_prop, mask):
+        """Keep old per-chain proposal state where ``mask`` is True
+        (shared mixture leaves are identical by construction)."""
+        C = self.num_chains
+        updates = {}
+        for f in self._PROP_PER_CHAIN:
+            new = getattr(new_prop, f)
+            old = getattr(old_prop, f)
+            m = jnp.reshape(mask, (C,) + (1,) * (new.ndim - 1))
+            updates[f] = jnp.where(m, old, new)
+        return dataclasses.replace(new_prop, **updates)
+
     def _mutate(self, state: PTState, proposals, key, assigner=None):
         """One mutate move for the whole chain population
         (reference: SamplerPTChain.cpp MutateMove:217-313)."""
@@ -491,14 +567,11 @@ class SamplerPT:
             chain_keys_prop = jax.random.split(k_prop, C)
 
             # 1. adaptive scale update (skipped for T=0 chains)
-            prop_upd = jax.vmap(prop_mod.update_scales)(prop, chain_keys_upd)
-            prop = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
-                    jnp.reshape(t0_mask, (C,) + (1,) * (new.ndim - 1)), old, new
-                ),
-                prop_upd,
-                prop,
+            prop_upd = self._prop_apply(
+                prop_mod.update_scales, prop, chain_keys_upd,
+                returns_prop=True,
             )
+            prop = self._prop_mask_per_chain(prop_upd, prop, t0_mask)
 
             # 2. propose new block positions
             x_block = x[:, block_idx]
@@ -510,15 +583,17 @@ class SamplerPT:
                 cur_cluster = spectral_mod.assign_batch(
                     assigner, x.astype(jnp.float64)
                 )
-                new_block, selected = jax.vmap(
+                new_block, selected = self._prop_apply(
                     lambda p, xb, cl, k: prop_mod.propose_clustered(
                         p, xb, cl, lower, upper, k
-                    )
-                )(prop, x_block, cur_cluster, chain_keys_prop)
+                    ),
+                    prop, x_block, cur_cluster, chain_keys_prop,
+                )
             else:
-                new_block, selected = jax.vmap(
-                    lambda p, xb, k: prop_mod.propose(p, xb, lower, upper, k)
-                )(prop, x_block, chain_keys_prop)
+                new_block, selected = self._prop_apply(
+                    lambda p, xb, k: prop_mod.propose(p, xb, lower, upper, k),
+                    prop, x_block, chain_keys_prop,
+                )
 
             x_new = x.at[:, block_idx].set(new_block)
             # T=0 chains: direct prior draw replaces the whole vector, and
@@ -546,11 +621,14 @@ class SamplerPT:
                 new_cluster = spectral_mod.assign_batch(
                     assigner, x_new.astype(jnp.float64)
                 )
-                mh = jax.vmap(prop_mod.mh_log_ratio_clustered)(
-                    prop, x_block, new_block, cur_cluster, new_cluster
+                mh = self._prop_apply(
+                    prop_mod.mh_log_ratio_clustered,
+                    prop, x_block, new_block, cur_cluster, new_cluster,
                 )
             else:
-                mh = jax.vmap(prop_mod.mh_log_ratio)(prop, x_block, new_block)
+                mh = self._prop_apply(
+                    prop_mod.mh_log_ratio, prop, x_block, new_block
+                )
             log_u = jnp.log(
                 jax.random.uniform(jax.random.fold_in(k_acc, 1), (C,), dtype=self.dtype)
             )
@@ -567,14 +645,10 @@ class SamplerPT:
             att_mut = att_mut + counted.astype(att_mut.dtype)
             acc_mut = acc_mut + (accept & counted).astype(acc_mut.dtype)
 
-            prop_notified = jax.vmap(prop_mod.notify_accepted)(prop, accept)
-            prop = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
-                    jnp.reshape(t0_mask, (C,) + (1,) * (new.ndim - 1)), old, new
-                ),
-                prop_notified,
-                prop,
+            prop_notified = self._prop_apply(
+                prop_mod.notify_accepted, prop, accept, returns_prop=True
             )
+            prop = self._prop_mask_per_chain(prop_notified, prop, t0_mask)
             new_proposals.append(prop)
 
         state = dataclasses.replace(
@@ -981,7 +1055,9 @@ class SamplerPT:
                     if gmm is None:
                         gmm = self._fallback_gmm(block)
                 ladder_gmms.append(gmm)
-            gmms = ladder_gmms * E  # every ensemble gets the pooled fit
+            # every ensemble shares the pooled fit: the mixture arrays are
+            # stored once per ladder position (see _prop_apply)
+            gmms = ladder_gmms
             adaptation_record.append((block, ladder_gmms[-1]))
             if clustered_active:
                 build_ptype = "clustered_covariance"

@@ -34,6 +34,7 @@ CELL_MODEL = f"""<?xml version="1.0"?>
   <species id="cytokinesis" name="cytokinesis" initialAmount="0.0"/>
   <species id="Ka" name="Ka" initialAmount="0.0"/>
   <species id="Xp" name="Xp" initialAmount="0.0"/>
+  <species id="env" name="env" initialAmount="1.0"/>
 </listOfSpecies>
 <listOfParameters>
   <parameter id="Ktot" value="1.0"/>
@@ -87,7 +88,8 @@ CELL_MODEL = f"""<?xml version="1.0"?>
 """
 
 
-def build_likelihood(max_cells: int, num_cells: int, solver: str, trips):
+def build_likelihood(max_cells: int, num_cells: int, solver: str, trips,
+                     variability: bool = True, divide: bool = True):
     import h5py
     import numpy as np
 
@@ -107,19 +109,22 @@ def build_likelihood(max_cells: int, num_cells: int, solver: str, trips):
         g.create_dataset("avg_mass", data=obs)
 
     trips_attr = f' solver_trips="{trips}"' if trips else ""
+    cv_block = (
+        '  <cell_variability distribution="diagonal_gaussian">\n'
+        '    <variable model_parameter="k_div" apply="multiplicative_log"'
+        ' scale="cv_kdiv"/>\n'
+        "  </cell_variability>\n"
+    ) if variability else ""
     with open(os.path.join(d, "likelihood.xml"), "w") as f:
         f.write(
             '<bcm_likelihood type="cell_population">\n'
             f'<experiment name="exp1" model_file="cell.xml" data_file="data.nc"\n'
-            f'  num_cells="{num_cells}" max_cells="{max_cells}" divide_cells="true"'
+            f'  num_cells="{num_cells}" max_cells="{max_cells}" divide_cells="{str(divide).lower()}"'
             ' entry_time="0"\n'
             f'  solver_type="{solver}" solver_relative_tolerance="1e-6"\n'
             f'  solver_absolute_tolerance="1e-6"{trips_attr}'
             ' trailing_simulation_time="0.5">\n'
-            '  <cell_variability distribution="diagonal_gaussian">\n'
-            '    <variable model_parameter="k_div" apply="multiplicative_log"'
-            ' scale="cv_kdiv"/>\n'
-            "  </cell_variability>\n"
+            + cv_block +
             '  <data type="time_course_population_average" data_name="avg_mass"\n'
             '    species_name="mass" error_model="normal" stdev="sd"/>\n'
             "</experiment>\n"
