@@ -180,17 +180,31 @@ class SBMLModel:
                 if sid in self.species_index:
                     S[self.species_index[sid], j] -= st
 
-        S_j = jnp.asarray(S)
+        # static sparse stoichiometry application instead of `S @ rates`:
+        # a matmul lowers to bf16 MXU multiplies under batching on TPU,
+        # and the resulting ~1e-3-relative RHS noise makes adaptive error
+        # control at rtol 1e-6 impossible (measured: every vmapped cellpop
+        # integration soft-failed). The matrix is tiny and mostly +/-1, so
+        # the unrolled multiply-add form is both exact f32 and faster.
+        terms = [
+            [(j, float(S[i, j])) for j in range(R) if S[i, j] != 0.0]
+            for i in range(n)
+        ]
 
         def rhs(t, y, constant_y, params, nsp):
-            rates = jnp.stack(
-                [
-                    (f(t, y, constant_y, params, nsp) if f is not None else 0.0)
-                    * jnp.ones((), dtype=y.dtype)
-                    for f in rate_fns
-                ]
-            )
-            return S_j.astype(y.dtype) @ rates
+            rates = [
+                (f(t, y, constant_y, params, nsp) if f is not None else 0.0)
+                * jnp.ones((), dtype=y.dtype)
+                for f in rate_fns
+            ]
+            zero = jnp.zeros((), dtype=y.dtype)
+            dy = []
+            for i in range(n):
+                acc = zero
+                for j, coef in terms[i]:
+                    acc = acc + (rates[j] if coef == 1.0 else coef * rates[j])
+                dy.append(acc)
+            return jnp.stack(dy)
 
         return rhs
 
