@@ -59,6 +59,37 @@ def effective_sample_size(x: np.ndarray) -> float:
     return float(n / (1.0 + 2.0 * s))
 
 
+def effective_sample_size_batched(x: np.ndarray) -> np.ndarray:
+    """ESS per column of ``x`` (n, B) — the FFT-vectorized equivalent of
+    ``effective_sample_size`` (same acf convention as stats/summary.py
+    acf: mean of n-lag products over var(ddof=1), and the same
+    initial-positive-sequence truncation). Used by bench.py to compute
+    ESS over thousands of ensemble chains at once."""
+    x = np.asarray(x, dtype=np.float64)
+    n, B = x.shape
+    if n < 3:
+        return np.full(B, float(n))
+    d = x - x.mean(axis=0)
+    var = x.var(axis=0, ddof=1)
+    nfft = 1 << int(2 * n - 1).bit_length()
+    f = np.fft.rfft(d, nfft, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), nfft, axis=0)[:n].real
+    # acf(lag) = mean(d[:-lag] * d[lag:]) / var  ->  acov[lag]/(n-lag)/var
+    counts = (n - np.arange(n))[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rho = acov / counts / var[None, :]
+    rho[0] = 1.0
+    # initial positive sequence: sum rho[1:] until the first negative
+    neg = rho[1:] < 0.0
+    first_neg = np.where(neg.any(axis=0), neg.argmax(axis=0), n - 1)
+    mask = np.arange(1, n)[:, None] <= first_neg[None, :]
+    s = np.where(mask, rho[1:], 0.0).sum(axis=0)
+    ess = n / (1.0 + 2.0 * s)
+    bad = ~np.isfinite(var) | (var <= 0)
+    ess = np.where(bad, float(n), ess)
+    return np.clip(ess, 1.0, float(n))
+
+
 def variable_summary(
     results: Dict,
     temperature_ix: int = -1,

@@ -248,8 +248,9 @@ class DataLikelihoodTimeCourse:
     synchronize: str = "none"
     missing_simulation_time_stdev: float = 3600.0
 
-    def evaluate(self, sim_values, tv, nsp):
-        """sim_values: (T, N, S)."""
+    def _cost(self, sim_values, tv, nsp):
+        """(cost (n_obs, N), obs_valid, sim_valid) log-likelihood matrix
+        between observed and simulated cells."""
         obs = np.asarray(self.observed)
         if obs.ndim == 2:
             obs = obs[:, :, None]
@@ -285,8 +286,35 @@ class DataLikelihoodTimeCourse:
         cost = jnp.sum(pair, axis=(2, 3))  # (n_obs, N)
         obs_valid = jnp.any(jnp.isfinite(obs), axis=(1, 2))
         sim_valid = jnp.any(~jnp.isnan(xT[:, :, 0]), axis=1)
+        return cost, obs_valid, sim_valid
+
+    def evaluate(self, sim_values, tv, nsp):
+        """sim_values: (T, N, S)."""
+        cost, obs_valid, sim_valid = self._cost(sim_values, tv, nsp)
         logp = batched_hungarian(cost, obs_valid, sim_valid)
         return logp * self.error.weight
+
+    def matching(self, sim_values, tv, nsp):
+        """Observed-cell -> simulated-slot assignment (n_obs,), -1 where
+        unmatched (reference: DataLikelihoodTimeCourse.cpp:187-355
+        trajectory_matching). Host-side: used by the posterior-predictive
+        accessors, not the sampling hot path."""
+        from bcm3_tpu.native import lap_solve
+
+        cost, obs_valid, sim_valid = self._cost(sim_values, tv, nsp)
+        cost = np.asarray(cost, dtype=np.float64)
+        obs_ix = np.where(np.asarray(obs_valid))[0]
+        sim_ix = np.where(np.asarray(sim_valid))[0]
+        match = -np.ones(cost.shape[0], dtype=np.int64)
+        if len(obs_ix) == 0 or len(sim_ix) < len(obs_ix):
+            return match
+        sub = cost[np.ix_(obs_ix, sim_ix)]
+        sub = np.where(np.isfinite(sub), sub, -1e100)
+        assignment, _ = lap_solve(-sub)
+        for row, col in enumerate(np.asarray(assignment, dtype=np.int64)):
+            if 0 <= col < len(sim_ix):
+                match[obs_ix[row]] = sim_ix[col]
+        return match
 
 
 @dataclass

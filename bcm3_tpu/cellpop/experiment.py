@@ -609,16 +609,34 @@ class Experiment:
 
         return jax.vmap(count)(times)
 
+    def _time_offset(self, tv, nsp):
+        return (
+            self.sync_offset_ref.value(tv, nsp)
+            if self.sync_offset_ref is not None
+            else 0.0
+        )
+
+    def _data_sim_values(self, result, dl, tv, nsp):
+        """(times, sim (T, N, S)) simulated values for one data
+        likelihood's timepoints (the batched analogue of the reference's
+        NotifySimulatedValue collection, Experiment.cpp:296-312)."""
+        time_offset = self._time_offset(tv, nsp)
+        times = jnp.asarray(dl.timepoints, dtype=tv.dtype) + time_offset
+        sync_ev = _SYNC_EVENT[dl.synchronize] if hasattr(dl, "synchronize") else -1
+        sim = jnp.stack(
+            [
+                self._read_species(result, target, times, sync_ev)
+                for target in dl.species
+            ],
+            axis=-1,
+        )  # (T, N, S)
+        return times, sim
+
     def log_prob(self, tv, nsp=None):
         """Experiment log-probability for TRANSFORMED parameter values."""
         if nsp is None:
             nsp = jnp.asarray(self.non_sampled_values)
         result = self.simulate(tv, nsp)
-        time_offset = (
-            self.sync_offset_ref.value(tv, nsp)
-            if self.sync_offset_ref is not None
-            else 0.0
-        )
 
         logp = jnp.zeros((), dtype=tv.dtype)
         for dl in self.data_likelihoods:
@@ -627,15 +645,7 @@ class Experiment:
                     result.event_times, result.active, tv, nsp
                 )
                 continue
-            times = jnp.asarray(dl.timepoints, dtype=tv.dtype) + time_offset
-            sync_ev = _SYNC_EVENT[dl.synchronize] if hasattr(dl, "synchronize") else -1
-            sim = jnp.stack(
-                [
-                    self._read_species(result, target, times, sync_ev)
-                    for target in dl.species
-                ],
-                axis=-1,
-            )  # (T, N, S)
+            times, sim = self._data_sim_values(result, dl, tv, nsp)
             if isinstance(dl, dl_mod.DataLikelihoodPopulationAverage):
                 pop = self._population_size(result, times)
                 logp = logp + dl.evaluate(sim, pop, tv, nsp)
@@ -643,3 +653,102 @@ class Experiment:
                 logp = logp + dl.evaluate(sim, tv, nsp)
 
         return jnp.where(result.ok, logp, -jnp.inf)
+
+    # ------------------------------------------------------------------
+    # Posterior-predictive accessors (the Python side of the R bridge;
+    # reference: src/bcmrbridge/interface_cellpop.cpp:45-418)
+
+    @property
+    def num_species(self) -> int:
+        """reference: Experiment.h:60 GetNumSpecies (ODE + constant)."""
+        return self.model.num_simulated_species
+
+    @property
+    def species_names(self):
+        """reference: Experiment.h:61 GetSpeciesName. Ordered ODE species
+        then constant species — the same indexing _read_species and the
+        data-likelihood species targets use."""
+        m = self.model
+        return [m.species_full_name(s) for s in m.ode_species] + [
+            m.species_full_name(s) for s in m.constant_species
+        ]
+
+    def output_timepoints(self, n_timepoints: int = 500):
+        """Evenly spaced global-time output grid (reference:
+        Experiment.cpp:19,322-324 output_trajectory_num_timepoints=500
+        over [simulation begin, simulation end])."""
+        return np.linspace(0.0, self.end_time, n_timepoints)
+
+    def simulated_trajectories(self, tv, nsp=None, n_timepoints: int = 500):
+        """(timepoints (T,), values (n_cells, T, n_species), parents
+        (n_cells,)) for all active cells — the analogue of
+        bcm3_rbridge_cellpop_get_simulated_trajectories
+        (interface_cellpop.cpp:96-148). Parents index into the returned
+        cell axis; -1 marks initial cells."""
+        if nsp is None:
+            nsp = jnp.asarray(self.non_sampled_values)
+        result = self.simulate(tv, nsp)
+        times = jnp.asarray(self.output_timepoints(n_timepoints), dtype=tv.dtype)
+        cols = []
+        for ix in range(self.num_species):
+            target = dl_mod.SpeciesTarget(
+                name=self.species_names[ix], sim_indices=[ix]
+            )
+            cols.append(self._read_species(result, target, times, -1))  # (T, N)
+        vals = jnp.stack(cols, axis=-1)  # (T, N, S)
+        active = np.asarray(result.active)
+        cell_ix = np.where(active)[0]
+        remap = -np.ones(active.shape[0], dtype=np.int64)
+        remap[cell_ix] = np.arange(len(cell_ix))
+        parents = np.asarray(result.parent)[cell_ix]
+        parents = np.where(parents >= 0, remap[np.clip(parents, 0, None)], -1)
+        values = np.asarray(vals).transpose(1, 0, 2)[cell_ix]  # (cells, T, S)
+        return np.asarray(times), values, parents
+
+    def simulated_data(self, tv, data_ix: int, nsp=None):
+        """(times, simulated values) for one data likelihood — the
+        analogue of bcm3_rbridge_cellpop_get_simulated_data
+        (interface_cellpop.cpp:291-416). Layouts: duration -> (N,);
+        population average -> (T,); otherwise per-cell (N, T, S)."""
+        if nsp is None:
+            nsp = jnp.asarray(self.non_sampled_values)
+        result = self.simulate(tv, nsp)
+        dl = self.data_likelihoods[data_ix]
+        if isinstance(dl, dl_mod.DataLikelihoodDuration):
+            sim = dl.durations_from_events(result.event_times)
+            sim = jnp.where(result.active, sim, jnp.nan)
+            return np.zeros(1), np.asarray(sim)
+        times, sim = self._data_sim_values(result, dl, tv, nsp)
+        if isinstance(dl, dl_mod.DataLikelihoodPopulationAverage):
+            pop = self._population_size(result, times)
+            x = sim[:, :, 0]
+            avg = jnp.nansum(x, axis=1) / jnp.maximum(pop, 1)
+            has = jnp.any(~jnp.isnan(x), axis=1) & (pop > 0)
+            return np.asarray(times), np.asarray(jnp.where(has, avg, jnp.nan))
+        return np.asarray(times), np.asarray(sim).transpose(1, 0, 2)  # (N, T, S)
+
+    def matched_simulation(self, tv, data_ix: int, nsp=None,
+                           n_timepoints: int = 500):
+        """(timepoints, values (n_obs, T, n_species)) — each observed
+        cell's MATCHED simulated cell's full species trajectories
+        (reference: interface_cellpop.cpp get_matched_simulation:418-480
+        via DataLikelihoodTimeCourse::GetTrajectoryMatching)."""
+        if nsp is None:
+            nsp = jnp.asarray(self.non_sampled_values)
+        dl = self.data_likelihoods[data_ix]
+        if not isinstance(dl, dl_mod.DataLikelihoodTimeCourse):
+            raise TypeError(
+                "matched_simulation requires a time_course data likelihood"
+            )
+        result = self.simulate(tv, nsp)
+        _, sim = self._data_sim_values(result, dl, tv, nsp)
+        match = dl.matching(sim, tv, nsp)  # (n_obs,) sim-slot or -1
+        times, values, _ = self.simulated_trajectories(tv, nsp, n_timepoints)
+        active = np.asarray(result.active)
+        remap = -np.ones(active.shape[0], dtype=np.int64)
+        remap[np.where(active)[0]] = np.arange(int(active.sum()))
+        out = np.full((len(match), len(times), self.num_species), np.nan)
+        for oi, slot in enumerate(match):
+            if slot >= 0 and remap[slot] >= 0:
+                out[oi] = values[remap[slot]]
+        return times, out

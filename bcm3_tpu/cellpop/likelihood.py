@@ -67,6 +67,35 @@ class CellPopulationLikelihood:
             logp = logp + exp.log_prob(tv)
         return jnp.where(jnp.isnan(logp), -jnp.inf, logp)
 
+    def get_experiment(self, name: Optional[str] = None) -> Experiment:
+        """Experiment by name (reference:
+        CellPopulationLikelihood::GetExperiment); None -> first."""
+        if name is None or name == "":
+            return self.experiments[0]
+        for exp in self.experiments:
+            if exp.name == name:
+                return exp
+        raise KeyError(f"No experiment named '{name}'")
+
+    # Posterior-predictive accessors on UNTRANSFORMED parameter values —
+    # the Python side of the cellpop R bridge
+    # (reference: src/bcmrbridge/interface_cellpop.cpp:45-418).
+
+    def simulated_trajectories(self, values, experiment=None, **kw):
+        return self.get_experiment(experiment).simulated_trajectories(
+            self._transform(values), **kw
+        )
+
+    def simulated_data(self, values, data_ix: int, experiment=None):
+        return self.get_experiment(experiment).simulated_data(
+            self._transform(values), data_ix
+        )
+
+    def matched_simulation(self, values, data_ix: int, experiment=None, **kw):
+        return self.get_experiment(experiment).matched_simulation(
+            self._transform(values), data_ix, **kw
+        )
+
     def close(self):
         for exp in self.experiments:
             exp.close()

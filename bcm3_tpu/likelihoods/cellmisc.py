@@ -362,12 +362,16 @@ class IncucytePopulationLikelihood:
         )  # ys: (n_wells, 3, T)
         return ys, jnp.all(oks), apoptotic_size, cell_size, debris_size
 
-    def log_prob(self, values):
+    def simulate_experiment(self, values, e: IncucyteExperiment):
+        """All derived observables of one experiment's wells: the batched
+        analogue of the reference's GetSimulatedCellCount /
+        ApoptoticCellCount / Debris / Confluence / ApoptosisMarker / CTB
+        accessors (reference: LikelihoodIncucytePopulation.h:28-35,
+        consumed by interface_incucyte.cpp:55-121). Wells are ordered
+        [negative, positive(pao), drug_0..drug_{C-1}]; all matrices are
+        (n_wells, T)."""
         ix = self._ix
         v = lambda name: values[ix[name]]
-        sigma_confl = v("sigma_confluence")
-        sigma_apo = v("sigma_apoptosis_marker")
-        sigma_ctb = v("sigma_ctb")
         cell_size = jnp.power(10.0, v("log10_cell_size")) * 9.174312e-6
         marker_size = v("apoptosis_marker_size") * cell_size
         pao_marker_size = v("pao_apoptosis_marker_size") * cell_size
@@ -376,32 +380,55 @@ class IncucytePopulationLikelihood:
         pre_size = v("cell_preadherence_size")
         adh_time = v("cell_adherence_time")
 
+        ys, ok, asize, _, _ = self._simulate_wells(values, e)
+        tp = jnp.asarray(e.timepoints, dtype=values.dtype)
+        size_factor = jnp.where(
+            tp < adh_time,
+            pre_size + (1.0 - pre_size) * tp / jnp.maximum(adh_time, 1e-12),
+            1.0,
+        )  # (T,)
+        confluence = (
+            ys[:, 0, :] * cell_size * size_factor[None, :]
+            + ys[:, 1, :] * asize[:, None]
+            + ys[:, 2, :] * debris_size
+        )  # (n_wells, T)
+        msize = jnp.where(
+            jnp.asarray([False, True] + [False] * len(e.concentrations)),
+            pao_marker_size,
+            marker_size,
+        )
+        marker = jnp.where(
+            tp[None, :] < e.treatment_time,
+            0.0,
+            ys[:, 1, :] * msize[:, None] + ys[:, 2, :] * debris_marker_size,
+        )
+        # CTB: final-time cell count relative to the negative control
+        neg_final = ys[0, 0, -1]
+        ctb_sim = jnp.where(neg_final > 0.0, ys[2:, 0, -1] / neg_final, 0.0)
+        return {
+            "cell_count": ys[:, 0, :],
+            "apoptotic_cell_count": ys[:, 1, :],
+            "debris": ys[:, 2, :],
+            "confluence": confluence,
+            "apoptosis_marker": marker,
+            "ctb": ctb_sim,
+            "ok": ok,
+        }
+
+    def log_prob(self, values):
+        ix = self._ix
+        v = lambda name: values[ix[name]]
+        sigma_confl = v("sigma_confluence")
+        sigma_apo = v("sigma_apoptosis_marker")
+        sigma_ctb = v("sigma_ctb")
+
         total = jnp.zeros((), dtype=values.dtype)
         all_ok = jnp.asarray(True)
         for e in self.experiments:
-            ys, ok, asize, _, _ = self._simulate_wells(values, e)
-            all_ok = all_ok & ok
-            tp = jnp.asarray(e.timepoints, dtype=values.dtype)
-            size_factor = jnp.where(
-                tp < adh_time,
-                pre_size + (1.0 - pre_size) * tp / jnp.maximum(adh_time, 1e-12),
-                1.0,
-            )  # (T,)
-            confluence = (
-                ys[:, 0, :] * cell_size * size_factor[None, :]
-                + ys[:, 1, :] * asize[:, None]
-                + ys[:, 2, :] * debris_size
-            )  # (n_wells, T)
-            msize = jnp.where(
-                jnp.asarray([False, True] + [False] * len(e.concentrations)),
-                pao_marker_size,
-                marker_size,
-            )
-            marker = jnp.where(
-                tp[None, :] < e.treatment_time,
-                0.0,
-                ys[:, 1, :] * msize[:, None] + ys[:, 2, :] * debris_marker_size,
-            )
+            sim = self.simulate_experiment(values, e)
+            all_ok = all_ok & sim["ok"]
+            confluence = sim["confluence"]
+            marker = sim["apoptosis_marker"]
 
             factor = 0.25 / len(e.timepoints)
 
@@ -433,13 +460,8 @@ class IncucytePopulationLikelihood:
                     jnp.asarray(e.drug_confluence[:, ci, :], dtype=values.dtype),
                     jnp.asarray(e.drug_apoptosis[:, ci, :], dtype=values.dtype),
                 )
-            # CTB: final-time cell count relative to the negative control
-            neg_final = ys[0, 0, -1]
-            ctb_sim = jnp.where(
-                neg_final > 0.0, ys[2:, 0, -1] / neg_final, 0.0
-            )
             obs_ctb = jnp.asarray(e.ctb, dtype=values.dtype)
-            lp_ctb = log_pdf_tnu3(obs_ctb, ctb_sim, sigma_ctb)
+            lp_ctb = log_pdf_tnu3(obs_ctb, sim["ctb"], sigma_ctb)
             total = total + jnp.sum(jnp.where(jnp.isnan(obs_ctb), 0.0, lp_ctb))
 
         return jnp.where(all_ok & jnp.isfinite(total), total, -jnp.inf)

@@ -309,6 +309,34 @@ class PharmacoLikelihoodSingle:
         )
         return traj[:, 1] * conversion, ok
 
+    def observed(self):
+        """(times, concentrations) of the patient's observed data
+        (reference: interface_pharmaco_single.cpp get_observed_data)."""
+        s = self.schedule
+        return s.obs_times[0], s.obs_values[0]
+
+    def simulate_trajectory(self, values, times):
+        """Concentrations (T,) and full compartment trajectory (T, n) at
+        arbitrary requested times (reference:
+        interface_pharmaco_single.cpp get_simulated_trajectory ->
+        PharmacoLikelihoodSingle::GetSimulatedTrajectory)."""
+        times = np.asarray(times, dtype=np.float64)
+        s = self.schedule
+        interval = float(s.interval[0])
+        K = s.dose_amount.shape[1]
+        k_obs = np.clip(np.ceil(times / interval).astype(int) - 1, 0, K - 1)
+        off = np.maximum(times - k_obs * interval, 0.0)
+        A, conversion, _, _ = self._params(values)
+        traj, ok = solve_patient(
+            A,
+            jnp.asarray(interval, dtype=A.dtype),
+            jnp.asarray(s.dose_amount[0], dtype=A.dtype),
+            jnp.asarray(k_obs),
+            jnp.asarray(off, dtype=A.dtype),
+            jnp.ones((), dtype=A.dtype),
+        )
+        return traj[:, 1] * conversion, traj, ok
+
     def log_prob(self, values):
         A, conversion, add_sd, prop_sd = self._params(values)
         s = self.schedule
@@ -469,6 +497,33 @@ class PharmacoLikelihoodPopulation:
 
     def simulate_trajectories(self, values):
         return self._simulate(self._params(values), values.dtype)
+
+    def observed(self, patient_ix: int):
+        """(times, concentrations) for one patient (reference:
+        interface_pharmaco_population.cpp get_observed_data)."""
+        s = self.schedule
+        return s.obs_times[patient_ix], s.obs_values[patient_ix]
+
+    def simulate_patient_trajectory(self, values, patient_ix: int, times):
+        """Concentrations (T,) and compartment trajectory (T, n) for one
+        patient at arbitrary requested times (reference:
+        interface_pharmaco_population.cpp get_simulated_trajectory)."""
+        times = np.asarray(times, dtype=np.float64)
+        s = self.schedule
+        interval = float(s.interval[patient_ix])
+        K = s.dose_amount.shape[1]
+        k_obs = np.clip(np.ceil(times / interval).astype(int) - 1, 0, K - 1)
+        off = np.maximum(times - k_obs * interval, 0.0)
+        A, bio, conversion, _, _ = self._params(values)
+        traj, ok = solve_patient(
+            A[patient_ix],
+            jnp.asarray(interval, dtype=values.dtype),
+            jnp.asarray(s.dose_amount[patient_ix], dtype=values.dtype),
+            jnp.asarray(k_obs),
+            jnp.asarray(off, dtype=values.dtype),
+            bio[patient_ix],
+        )
+        return traj[:, 1] * conversion[patient_ix], traj, ok
 
     def log_prob(self, values):
         params = self._params(values)

@@ -394,9 +394,10 @@ class PopPKLikelihood:
     # ------------------------------------------------------------------
     # Linear-model path (exact closed form)
 
-    def _simulate_linear(self, p):
+    def _simulate_linear(self, p, full_state=False):
         """Propagate all patients over all dosing intervals exactly.
-        Returns central concentrations at the observation grid (P, T)."""
+        Returns central concentrations at the observation grid (P, T),
+        or the full compartment states (P, T, n) with full_state."""
         P = self.trial.num_patients
         dtype = p["ka"].dtype
         interval = jnp.asarray(self.trial.dosing_interval, dtype=dtype)  # (P,)
@@ -445,7 +446,7 @@ class PopPKLikelihood:
 
         if self.pk_type == "two_biphasic":
             obs_switch = jnp.take_along_axis(switch_eff, obs_k, axis=1)  # (P, T)
-            central = linear_pk.propagate_biphasic(
+            y_obs = linear_pk.propagate_biphasic(
                 y_base,
                 obs_dt,
                 obs_switch,
@@ -454,16 +455,18 @@ class PopPKLikelihood:
                 p["kel"][:, None],
                 kpf,
                 kpb,
-            )[..., 1]
+            )
         elif self.n_states == 2:
-            central = linear_pk.propagate_one_compartment(
+            y_obs = linear_pk.propagate_one_compartment(
                 y_base, obs_dt, p["ka"][:, None], p["ke"], p["kel"][:, None]
-            )[..., 1]
+            )
         else:
-            central = linear_pk.propagate_two_compartment(
+            y_obs = linear_pk.propagate_two_compartment(
                 y_base, obs_dt, p["ka"][:, None], p["ke"], p["kel"][:, None], kpf, kpb
-            )[..., 1]
-        return central  # (P, T) in mg
+            )
+        if full_state:
+            return y_obs  # (P, T, n) in mg
+        return y_obs[..., 1]  # central (P, T) in mg
 
     # ------------------------------------------------------------------
     # Transit-model path (DP5 over a static merged grid)
@@ -494,10 +497,12 @@ class PopPKLikelihood:
         self.tr_dose_amt = dose_amt
         self.tr_obs_pos = obs_pos
 
-    def _simulate_transit(self, p):
+    def _simulate_transit(self, p, full_state=False):
         """Transit-compartment models via the batched DP5 integrator.
 
         Augmented state: [gut, central, (peripheral), last_treatment, dose].
+        With full_state, returns the full augmented states at the
+        observation grid (P, T, n+2) instead of the central column.
         """
         P = self.trial.num_patients
         dtype = p["ka"].dtype
@@ -584,6 +589,8 @@ class PopPKLikelihood:
                 # defeats the vectorizer's layout choice for the masked
                 # write); full-state recording is the fast configuration
             )
+            if full_state:
+                return jnp.where(res.ok, res.ys, jnp.nan)  # (S, n_aug)
             ys = jnp.where(res.ok, res.ys[:, 1], jnp.nan)  # central (S,)
             return ys
 
@@ -601,9 +608,9 @@ class PopPKLikelihood:
             p["ka"],
             p["kel"],
             jnp.asarray(self.initial_dose, dtype=dtype),
-        )  # (P, S)
+        )  # (P, S) or (P, S, n_aug) with full_state
         pidx = jnp.arange(P)[:, None]
-        return central_grid[pidx, jnp.asarray(self.tr_obs_pos)]  # (P, T)
+        return central_grid[pidx, jnp.asarray(self.tr_obs_pos)]  # (P, T[, n_aug])
 
     # ------------------------------------------------------------------
 
@@ -790,6 +797,20 @@ class PopPKLikelihood:
         else:
             central = self._simulate_linear(p)
         return central * (self.conversion_base / p["vod"])
+
+    def simulate_states(self, values):
+        """Concentrations (P, T) in nM plus the full compartment
+        trajectories (P, T, n_states) in mg at the observation grid — the
+        analogue of the R bridge's get_simulated_data trajectories output
+        (reference: interface_popPK.cpp:79-120 out_trajectories)."""
+        p, _, _ = self._patient_params(values)
+        if self.pk_type in ("one_transit", "two_transit"):
+            states = self._simulate_transit(p, full_state=True)
+            states = states[..., : self.n_states]
+        else:
+            states = self._simulate_linear(p, full_state=True)
+        conc = states[..., 1] * (self.conversion_base / p["vod"])
+        return conc, states
 
 
 def create_poppk_likelihood(varset: VariableSet, attrs):

@@ -133,7 +133,276 @@ def pharmaco_get_simulation(handle: str, param_values):
 # fISA accessors (reference: interface_fISA.cpp:40-192)
 
 
+def _fisa(handle: str):
+    return _get(handle)["likelihood"].model
+
+
 def fISA_get_observed_data(handle: str, experiment_ix: int, data_ix: int):
-    m = _get(handle)["likelihood"].model
-    exp = m.experiments[experiment_ix]
+    exp = _fisa(handle).experiments[experiment_ix]
     return np.asarray(exp.observed_data(data_ix), dtype=np.float64)
+
+
+def fISA_get_modeled_activities(handle: str, experiment_ix: int, param_values):
+    """Steady-state signaling activities per (cell line, node) —
+    reference: interface_fISA.cpp get_modeled_activities."""
+    import jax.numpy as jnp
+
+    lik = _fisa(handle)
+    tv = lik._transform(jnp.asarray(np.asarray(param_values, dtype=np.float64)))
+    exp = lik.experiments[experiment_ix]
+    return np.asarray(exp.modeled_activities(tv), dtype=np.float64)
+
+
+def fISA_get_modeled_data(
+    handle: str, experiment_ix: int, data_ix: int, param_values
+):
+    """Model-predicted observables for one data part —
+    reference: interface_fISA.cpp get_modeled_data."""
+    import jax.numpy as jnp
+
+    lik = _fisa(handle)
+    tv = lik._transform(jnp.asarray(np.asarray(param_values, dtype=np.float64)))
+    exp = lik.experiments[experiment_ix]
+    return np.asarray(exp.modeled_data(tv, data_ix), dtype=np.float64)
+
+
+def fISA_get_num_experiments(handle: str) -> int:
+    return len(_fisa(handle).experiments)
+
+
+def fISA_get_num_data(handle: str, experiment_ix: int) -> int:
+    return len(_fisa(handle).experiments[experiment_ix].data_parts)
+
+
+def fISA_get_num_cell_lines(handle: str, experiment_ix: int) -> int:
+    return len(_fisa(handle).experiments[experiment_ix].cell_lines)
+
+
+def fISA_get_cell_line_names(handle: str, experiment_ix: int):
+    return list(_fisa(handle).experiments[experiment_ix].cell_lines)
+
+
+# ---------------------------------------------------------------------------
+# popPK full-trajectory accessor (reference: interface_popPK.cpp:79-120
+# returns compartment trajectories alongside concentrations)
+
+
+def popPK_get_simulated_trajectories(handle: str, param_values):
+    """{time (T,), concentrations (T, P) nM, trajectories (n, T, P) mg}
+    matching the reference's array layouts."""
+    import jax.numpy as jnp
+
+    m = _get(handle)["likelihood"].model
+    vals = jnp.asarray(np.asarray(param_values, dtype=np.float64))
+    conc, states = m.simulate_states(vals)
+    time = np.asarray(m.trial.time, dtype=np.float64)
+    return {
+        "time": time,
+        "concentrations": np.asarray(conc, dtype=np.float64).T,  # (T, P)
+        "trajectories": np.asarray(states, dtype=np.float64).transpose(
+            2, 1, 0
+        ),  # (n, T, P)
+    }
+
+
+# ---------------------------------------------------------------------------
+# ODE template accessor (reference: interface_ODE.cpp:56-78)
+
+
+def ODE_get_simulated_trajectories(handle: str, param_values):
+    """(4, 100) trajectory matrix matching the reference's fixed layout
+    (interface_ODE.cpp:70-76 out_values[j*100+i] = simtraj(j, i))."""
+    import jax.numpy as jnp
+
+    m = _get(handle)["likelihood"].model
+    vals = jnp.asarray(np.asarray(param_values, dtype=np.float64))
+    ys, _ok = m.simulate(vals)
+    return np.asarray(ys, dtype=np.float64).T  # (4, 100)
+
+
+# ---------------------------------------------------------------------------
+# Pharmaco single-patient accessors
+# (reference: interface_pharmaco_single.cpp:40-152)
+
+
+def pharmacosingle_get_observed_data(handle: str):
+    m = _get(handle)["likelihood"].model
+    t, y = m.observed()
+    return {"time": np.asarray(t, dtype=np.float64),
+            "data": np.asarray(y, dtype=np.float64)}
+
+
+def pharmacosingle_get_simulated_data(handle: str, param_values):
+    import jax.numpy as jnp
+
+    m = _get(handle)["likelihood"].model
+    vals = jnp.asarray(np.asarray(param_values, dtype=np.float64))
+    conc, _ = m.simulate(vals)
+    t, _ = m.observed()
+    return {"time": np.asarray(t, dtype=np.float64),
+            "data": np.asarray(conc, dtype=np.float64)}
+
+
+def pharmacosingle_get_simulated_trajectory(handle: str, param_values, timepoints):
+    import jax.numpy as jnp
+
+    m = _get(handle)["likelihood"].model
+    vals = jnp.asarray(np.asarray(param_values, dtype=np.float64))
+    conc, traj, ok = m.simulate_trajectory(vals, timepoints)
+    return {
+        "time": np.asarray(timepoints, dtype=np.float64),
+        "concentrations": np.asarray(conc, dtype=np.float64),
+        "trajectories": np.asarray(traj, dtype=np.float64).T,  # (n_comp, T)
+        "ok": bool(ok),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Pharmaco population accessors
+# (reference: interface_pharmaco_population.cpp:40-190)
+
+
+def pharmacopop_get_num_patients(handle: str) -> int:
+    return int(_get(handle)["likelihood"].model.num_patients)
+
+
+def pharmacopop_get_observed_data(handle: str, patient_ix: int):
+    m = _get(handle)["likelihood"].model
+    t, y = m.observed(patient_ix)
+    return {"time": np.asarray(t, dtype=np.float64),
+            "data": np.asarray(y, dtype=np.float64)}
+
+
+def pharmacopop_get_simulated_data(handle: str, param_values, patient_ix: int):
+    import jax.numpy as jnp
+
+    m = _get(handle)["likelihood"].model
+    vals = jnp.asarray(np.asarray(param_values, dtype=np.float64))
+    t, _ = m.observed(patient_ix)
+    conc, _, _ = m.simulate_patient_trajectory(vals, patient_ix, t)
+    return {"time": np.asarray(t, dtype=np.float64),
+            "data": np.asarray(conc, dtype=np.float64)}
+
+
+def pharmacopop_get_simulated_trajectory(
+    handle: str, param_values, patient_ix: int, timepoints
+):
+    import jax.numpy as jnp
+
+    m = _get(handle)["likelihood"].model
+    vals = jnp.asarray(np.asarray(param_values, dtype=np.float64))
+    conc, traj, ok = m.simulate_patient_trajectory(vals, patient_ix, timepoints)
+    return {
+        "time": np.asarray(timepoints, dtype=np.float64),
+        "concentrations": np.asarray(conc, dtype=np.float64),
+        "trajectories": np.asarray(traj, dtype=np.float64).T,
+        "ok": bool(ok),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Incucyte accessors (reference: interface_incucyte.cpp:40-122)
+
+
+def incucyte_get_simulated_trajectories(
+    handle: str, param_values, experiment_ix: int
+):
+    """The five well matrices (n_wells, T) the reference exposes, keyed by
+    name; wells are ordered [negative, positive, drug_0..]."""
+    import jax.numpy as jnp
+
+    lik = _get(handle)["likelihood"]
+    m = getattr(lik, "model", lik)
+    vals = jnp.asarray(np.asarray(param_values, dtype=np.float64))
+    sim = m.simulate_experiment(vals, m.experiments[experiment_ix])
+    return {
+        k: np.asarray(sim[k], dtype=np.float64)
+        for k in (
+            "cell_count",
+            "apoptotic_cell_count",
+            "debris",
+            "confluence",
+            "apoptosis_marker",
+        )
+    }
+
+
+def incucyte_get_simulated_ctb(handle: str, param_values, experiment_ix: int):
+    import jax.numpy as jnp
+
+    lik = _get(handle)["likelihood"]
+    m = getattr(lik, "model", lik)
+    vals = jnp.asarray(np.asarray(param_values, dtype=np.float64))
+    sim = m.simulate_experiment(vals, m.experiments[experiment_ix])
+    return np.asarray(sim["ctb"], dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Cellpop accessors (reference: interface_cellpop.cpp:45-418)
+
+
+def _cellpop(handle: str):
+    lik = _get(handle)["likelihood"]
+    return getattr(lik, "model", lik)
+
+
+def cellpop_get_num_species(handle: str, experiment=None) -> int:
+    return int(_cellpop(handle).get_experiment(experiment).num_species)
+
+
+def cellpop_get_species_names(handle: str, experiment=None):
+    return list(_cellpop(handle).get_experiment(experiment).species_names)
+
+
+def cellpop_get_num_data(handle: str, experiment=None) -> int:
+    return len(_cellpop(handle).get_experiment(experiment).data_likelihoods)
+
+
+def cellpop_get_simulated_trajectories(
+    handle: str, param_values, experiment=None, n_timepoints: int = 500
+):
+    """{time (T,), values (cells, T, species), parents (cells,)}."""
+    import jax.numpy as jnp
+
+    m = _cellpop(handle)
+    vals = jnp.asarray(np.asarray(param_values, dtype=np.float64))
+    t, v, parents = m.simulated_trajectories(
+        vals, experiment, n_timepoints=n_timepoints
+    )
+    return {"time": t, "values": v, "parents": parents}
+
+
+def cellpop_get_observed_data(handle: str, data_ix: int, experiment=None):
+    """{time, values} of one data likelihood's observations."""
+    exp = _cellpop(handle).get_experiment(experiment)
+    dl = exp.data_likelihoods[data_ix]
+    tp = getattr(dl, "timepoints", None)
+    return {
+        "time": np.asarray(tp, dtype=np.float64) if tp is not None else np.zeros(1),
+        "values": np.asarray(dl.observed, dtype=np.float64),
+    }
+
+
+def cellpop_get_simulated_data(
+    handle: str, param_values, data_ix: int, experiment=None
+):
+    import jax.numpy as jnp
+
+    m = _cellpop(handle)
+    vals = jnp.asarray(np.asarray(param_values, dtype=np.float64))
+    t, v = m.simulated_data(vals, data_ix, experiment)
+    return {"time": t, "values": v}
+
+
+def cellpop_get_matched_simulation(
+    handle: str, param_values, data_ix: int, experiment=None,
+    n_timepoints: int = 500
+):
+    import jax.numpy as jnp
+
+    m = _cellpop(handle)
+    vals = jnp.asarray(np.asarray(param_values, dtype=np.float64))
+    t, v = m.matched_simulation(
+        vals, data_ix, experiment, n_timepoints=n_timepoints
+    )
+    return {"time": t, "values": v}

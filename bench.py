@@ -58,6 +58,9 @@ NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "100"))
 # a deliberately conservative utilization figure; the workload is
 # VPU/control-flow heavy, not MXU-shaped, so small MFU is expected.
 PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
+# v5e HBM bandwidth: 819 GB/s — the resource that typically binds
+# elementwise/scan-heavy programs like this sampler
+PEAK_HBM_BW = {"TPU v5 lite": 819e9, "TPU v5e": 819e9}
 
 
 def build_sampler(num_samples, adapt_times, seed, pk_type="one", num_ensembles=None):
@@ -118,10 +121,14 @@ def measure_device_only(s, n_emit=20):
     state = jax.tree.map(jnp.asarray, state_host)
     lowered = fn.lower(state, proposals)
     compiled = lowered.compile()
+    flops_per_segment = float("nan")
+    bytes_per_segment = float("nan")
     try:
-        flops_per_segment = float(compiled.cost_analysis()["flops"])
+        ca = compiled.cost_analysis()
+        flops_per_segment = float(ca["flops"])
+        bytes_per_segment = float(ca.get("bytes accessed", float("nan")))
     except Exception:
-        flops_per_segment = float("nan")
+        pass
     def sync(s_):
         # block_until_ready is unreliable on tunneled (axon) devices —
         # pulling a small value is the only true completion barrier
@@ -140,6 +147,42 @@ def measure_device_only(s, n_emit=20):
         "device_evals_per_sec": reps * evals_per_segment / dt,
         "flops_per_eval": flops_per_segment / evals_per_segment,
         "device_flops_per_sec": reps * flops_per_segment / dt,
+        "bytes_per_eval": bytes_per_segment / evals_per_segment,
+        "device_bytes_per_sec": reps * bytes_per_segment / dt,
+    }
+
+
+def ess_stats(res, num_ensembles, elapsed, max_ensembles=256):
+    """ESS/sec and samples/s/chain from a run's emitted T=1 chains.
+
+    The emitted store pools ensembles sample-major ((S*E, L, D), row
+    s*E+e), so chain e's T=1 trace is samples[e::E, -1, :]. Per-chain
+    per-variable ESS is computed on a subset of ensembles (FFT-batched)
+    and scaled to the full ensemble count — the chains are i.i.d.
+    replicas, so the subset mean is an unbiased estimate of the
+    per-chain ESS (reference quality metric: R/stats.r:86-98)."""
+    import numpy as np
+
+    from bcm3_tpu.analysis import effective_sample_size_batched
+
+    samples = res["samples"]  # (S*E, L, D)
+    E = num_ensembles
+    S = samples.shape[0] // E
+    D = samples.shape[2]
+    Esub = min(E, max_ensembles)
+    x = samples.reshape(S, E, samples.shape[1], D)[:, :Esub, -1, :]
+    ess = effective_sample_size_batched(
+        np.ascontiguousarray(x.reshape(S, Esub * D), dtype=np.float64)
+    ).reshape(Esub, D)
+    ess_mean = float(ess.mean())  # mean over variables and chains
+    ess_min = float(ess.mean(axis=0).min())  # worst variable
+    return {
+        "samples_per_sec_per_chain": S / elapsed,
+        "ess_per_chain_mean": ess_mean,
+        "ess_per_chain_min_var": ess_min,
+        # total sampling-quality throughput across the ensemble population
+        "ess_per_sec": ess_mean * E / elapsed,
+        "ess_min_var_per_sec": ess_min * E / elapsed,
     }
 
 
@@ -147,17 +190,123 @@ def bench_config(pk_type, num_ensembles):
     s = build_sampler(NUM_SAMPLES, 0, 2024, pk_type, num_ensembles)
     s.run()  # compile + warm caches
     rates = []
+    timings = []
+    res = None
     for _ in range(N_REPS):
         t0 = time.time()
         res = s.run()
         elapsed = time.time() - t0
         rates.append(res["evaluations"] / elapsed)
+        timings.append(elapsed)
     dev = measure_device_only(s)
+    ess = ess_stats(res, num_ensembles, statistics.median(timings))
     return {
         "evals_per_sec": statistics.median(rates),
         "evals_per_sec_reps": [round(r, 1) for r in rates],
         "num_ensembles": num_ensembles,
         **dev,
+        **ess,
+    }
+
+
+def bench_banana():
+    """ESS/sec on the banana example at the reference's own config shape
+    (examples/banana/config.txt: 6 chains, GMM proposal, thin 5, one
+    adaptation) — sampling QUALITY per second on an analytic target."""
+    import numpy as np
+
+    from bcm3_tpu.likelihoods import create_likelihood
+    from bcm3_tpu.model.prior import Prior
+    from bcm3_tpu.model.variables import VariableSet
+    from bcm3_tpu.sampler import PTConfig, SamplerPT
+
+    ref = "/root/reference/examples/banana"
+    varset = VariableSet.from_xml(os.path.join(ref, "prior.xml"))
+    prior = Prior.from_xml(os.path.join(ref, "prior.xml"), varset)
+    lik = create_likelihood(os.path.join(ref, "likelihood.xml"), varset)
+    E = int(os.environ.get("BENCH_BANANA_ENSEMBLES", "512"))
+    S = int(os.environ.get("BENCH_BANANA_SAMPLES", "800"))
+    cfg = PTConfig(
+        num_samples=S,
+        use_every_nth=5,
+        num_chains=6,
+        num_ensembles=E,
+        adapt_proposal_samples=S // 2,
+        adapt_proposal_times=1,
+        max_history_size=2000,
+        swapping_scheme="deterministic_even_odd",
+        seed=7,
+        emit_dtype=None,
+    )
+    s = SamplerPT(prior, lik, cfg)
+    s.run()  # compile + adapt warmup
+    t0 = time.time()
+    res = s.run()
+    elapsed = time.time() - t0
+    # drop the pre-adaptation half (the reference's stats also discard
+    # burn-in via sample_ix)
+    samples = res["samples"].reshape(S, E, 6, -1)[S // 2:]
+    from bcm3_tpu.analysis import effective_sample_size_batched
+
+    Esub = min(E, 256)
+    x = samples[:, :Esub, -1, :]
+    n, D = x.shape[0], x.shape[2]
+    ess = effective_sample_size_batched(
+        np.ascontiguousarray(x.reshape(n, Esub * D), dtype=np.float64)
+    ).reshape(Esub, D)
+    return {
+        "evals_per_sec": res["evaluations"] / elapsed,
+        "ess_per_chain_mean": float(ess.mean()),
+        "ess_per_sec": float(ess.mean()) * E / elapsed,
+        "samples_per_sec_per_chain": S / elapsed,
+        "ensembles": E,
+    }
+
+
+def bench_cellpop():
+    """Cell-population likelihood throughput: dividing stiff cells with
+    Sobol variability under batched evaluation (the deepest reference
+    workload, src/cellpop/Experiment.cpp:635-846). Config via
+    BENCH_CELLPOP_* env; returns evals/sec at steady state."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    import jax
+    import numpy as np
+    from bench_cellpop import build_likelihood
+
+    cells = int(os.environ.get("BENCH_CELLPOP_CELLS", "128"))
+    num_cells = int(os.environ.get("BENCH_CELLPOP_INITIAL", "16"))
+    batch = int(os.environ.get("BENCH_CELLPOP_BATCH", "64"))
+    trips = int(os.environ.get("BENCH_CELLPOP_TRIPS", "512"))
+    solver = os.environ.get("BENCH_CELLPOP_SOLVER", "CVODE")
+    lik = build_likelihood(cells, num_cells, solver, trips)
+    import jax.numpy as jnp
+
+    base = jnp.asarray([0.1, 0.25, 0.15, 0.05])
+    xs = base[None, :] * jnp.exp(
+        0.05 * jax.random.normal(jax.random.PRNGKey(0), (batch, 4), base.dtype)
+    )
+    f = jax.jit(jax.vmap(lik.log_prob))
+    out = np.asarray(f(xs))  # compile + warmup (value pull = true sync)
+    finite = int(np.isfinite(out).sum())
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(xs)
+    np.asarray(out)
+    dt = (time.time() - t0) / reps
+    return {
+        "evals_per_sec": batch / dt,
+        "ms_per_eval": dt * 1e3 / batch,
+        "finite": finite,
+        "config": {
+            "max_cells": cells,
+            "initial_cells": num_cells,
+            "batch": batch,
+            "solver": solver,
+            "trips": trips,
+        },
     }
 
 
@@ -197,6 +346,36 @@ def main():
             "device_flops_per_sec": nan,
             "num_ensembles": NUM_ENSEMBLES_TRANSIT,
         }
+    print(
+        f"# transit done: {transit['evals_per_sec']:.0f} evals/s",
+        file=sys.stderr,
+        flush=True,
+    )
+    try:
+        cellpop = bench_cellpop()
+    except Exception as e:
+        print(f"# cellpop config failed: {e!r}", file=sys.stderr, flush=True)
+        cellpop = {"evals_per_sec": float("nan"), "config": {}}
+    print(
+        f"# cellpop done: {cellpop['evals_per_sec']:.1f} evals/s",
+        file=sys.stderr,
+        flush=True,
+    )
+    try:
+        banana = bench_banana()
+    except Exception as e:
+        print(f"# banana config failed: {e!r}", file=sys.stderr, flush=True)
+        banana = {
+            "evals_per_sec": float("nan"),
+            "ess_per_sec": float("nan"),
+            "ess_per_chain_mean": float("nan"),
+            "samples_per_sec_per_chain": float("nan"),
+        }
+    print(
+        f"# banana done: {banana['ess_per_sec']:.0f} ESS/s",
+        file=sys.stderr,
+        flush=True,
+    )
 
     base = {}
     baseline_file = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
@@ -215,6 +394,17 @@ def main():
             return round(r["device_flops_per_sec"] / peak, 6)
         return None
 
+    peak_bw = PEAK_HBM_BW.get(device_kind)
+
+    def hbm_frac(r):
+        v = r.get("device_bytes_per_sec", float("nan"))
+        if peak_bw and v == v:
+            return round(v / peak_bw, 4)
+        return None
+
+    def rnd(x, k=1):
+        return round(x, k) if x == x else None
+
     out = {
         "metric": "poppk_pt_mcmc_llh_evals_per_sec",
         "value": round(headline["evals_per_sec"], 1),
@@ -224,6 +414,12 @@ def main():
         "device_only_evals_per_sec": round(headline["device_evals_per_sec"], 1),
         "flops_per_eval": round(headline["flops_per_eval"], 1),
         "mfu": mfu(headline),
+        "bytes_per_eval": rnd(headline["bytes_per_eval"]),
+        "hbm_bw_fraction": hbm_frac(headline),
+        "samples_per_sec_per_chain": rnd(headline["samples_per_sec_per_chain"], 2),
+        "ess_per_chain_mean": rnd(headline["ess_per_chain_mean"], 2),
+        "ess_per_sec": rnd(headline["ess_per_sec"]),
+        "ess_min_var_per_sec": rnd(headline["ess_min_var_per_sec"]),
         "transit_evals_per_sec": round(transit["evals_per_sec"], 1),
         "transit_vs_baseline": ratio(
             transit["evals_per_sec"], "poppk_transit_evals_per_sec"
@@ -233,6 +429,16 @@ def main():
             transit["device_evals_per_sec"], 1
         ),
         "transit_mfu": mfu(transit),
+        "transit_hbm_bw_fraction": hbm_frac(transit),
+        "transit_ess_per_sec": rnd(transit.get("ess_per_sec", float("nan"))),
+        "cellpop_evals_per_sec": rnd(cellpop["evals_per_sec"], 2),
+        "cellpop_config": cellpop.get("config"),
+        "banana_ess_per_sec": rnd(banana["ess_per_sec"]),
+        "banana_ess_per_chain_mean": rnd(banana["ess_per_chain_mean"], 2),
+        "banana_samples_per_sec_per_chain": rnd(
+            banana["samples_per_sec_per_chain"], 2
+        ),
+        "banana_evals_per_sec": rnd(banana["evals_per_sec"]),
         "device_kind": device_kind,
         "cpu_baseline_threads": base.get("threads"),
         "config": {

@@ -172,3 +172,23 @@ def test_bcmopt_cli(tmp_path):
     last = t2[-1].split("\t")
     x0 = float(last[-2])
     assert abs(x0 - 1.0) < 0.8
+
+
+def test_effective_sample_size_batched_matches_loop():
+    from bcm3_tpu.analysis import (
+        effective_sample_size,
+        effective_sample_size_batched,
+    )
+
+    rng = np.random.default_rng(0)
+    n, B = 300, 5
+    x = np.zeros((n, B))
+    for b, r in enumerate([0.0, 0.4, 0.8, 0.95, -0.3]):
+        for i in range(1, n):
+            x[i, b] = r * x[i - 1, b] + rng.normal()
+    batched = effective_sample_size_batched(x)
+    loop = np.array([effective_sample_size(x[:, b]) for b in range(B)])
+    np.testing.assert_allclose(batched, loop, rtol=1e-12)
+    # constant column falls back to n
+    const = effective_sample_size_batched(np.ones((50, 1)))
+    assert const[0] == 50.0
