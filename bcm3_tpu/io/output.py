@@ -179,6 +179,59 @@ def load_results(filename: str):
     return out
 
 
+def write_results_netcdf(
+    result,
+    filename: str,
+    variable_names: Sequence[str],
+    variable_transforms: Sequence[int] | None = None,
+    chunk_rows: int = 4096,
+):
+    """Write a ``SamplerPT.run()`` result dict (or the output of
+    :func:`merge_sharded_results`) to an R-loadable ``output.nc`` with the
+    reference schema (reference: src/sampler/SampleHandlerNetCDF.cpp:45-111)
+    so a distributed run ends at the same artifact a single-process run
+    produces and ``R/load.r`` keeps working."""
+    xs = np.asarray(result["samples"], dtype=np.float64)
+    lp = np.asarray(result["log_prior"], dtype=np.float64)
+    ll = np.asarray(result["log_likelihood"], dtype=np.float64)
+    temps = np.asarray(result["temperatures"], dtype=np.float64)
+    N = xs.shape[0]
+    transforms = (
+        list(variable_transforms)
+        if variable_transforms is not None
+        else [0] * len(variable_names)
+    )
+    with SampleHandlerHDF5(
+        filename, N, variable_names, transforms, temps
+    ) as handler:
+        for i0 in range(0, N, chunk_rows):
+            i1 = min(N, i0 + chunk_rows)
+            handler.receive_samples(xs[i0:i1], lp[i0:i1], ll[i0:i1], temps)
+
+
+def load_shard_npz(filename: str):
+    """Read one per-process emission shard (written by
+    examples/run_distributed.py / the distributed worker) back into the
+    dict form :func:`merge_sharded_results` consumes."""
+    z = np.load(filename, allow_pickle=False)
+    shard = None
+    if "e0" in z and int(z["e0"]) >= 0:
+        shard = (int(z["e0"]), int(z["e_local"]))
+    out = {
+        "samples": z["samples"],
+        "log_prior": z["log_prior"],
+        "log_likelihood": z["log_likelihood"],
+        "ensemble_shard": shard,
+        "num_ensembles": int(z["num_ensembles"]),
+        "temperatures": z["temperatures"] if "temperatures" in z else None,
+    }
+    if "variables" in z:
+        out["variables"] = [str(v) for v in z["variables"]]
+    if "variable_transform" in z:
+        out["variable_transform"] = [int(t) for t in z["variable_transform"]]
+    return out
+
+
 def merge_sharded_results(results):
     """Merge per-process ``SamplerPT.run()`` results from a multi-process
     (jax.distributed) run with per-host sharded emission into the exact
@@ -217,6 +270,14 @@ def merge_sharded_results(results):
         if not seen.all():
             raise ValueError("ensemble shards do not cover the population")
         merged[key] = out.reshape((S * E,) + rest)
-    merged["temperatures"] = results[0]["temperatures"]
+    merged["temperatures"] = next(
+        (r["temperatures"] for r in results if r.get("temperatures") is not None),
+        None,
+    )
     merged["num_ensembles"] = E
+    for key in ("variables", "variable_transform"):
+        for r in results:
+            if r.get(key) is not None:
+                merged[key] = r[key]
+                break
     return merged

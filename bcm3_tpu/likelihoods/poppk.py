@@ -629,8 +629,13 @@ class PopPKLikelihood:
 
         obs = jnp.asarray(self.trial.observed, dtype=values.dtype)
         mask = jnp.asarray(self.obs_mask)
-        sigma = sd + sd2 * jnp.maximum(x, 0.0)
-        pointwise = log_pdf_tnu4(x, obs, sigma)
+        # double-where: sanitize the unscored entries BEFORE the pdf so the
+        # masked-out branch is NaN-free — a NaN in the untaken branch of a
+        # single where poisons reverse-mode gradients (NUTS/HMC path)
+        x_sc = jnp.where(mask, x, 0.0)
+        obs_sc = jnp.where(mask, obs, 0.0)
+        sigma = sd + sd2 * jnp.maximum(x_sc, 0.0)
+        pointwise = log_pdf_tnu4(x_sc, obs_sc, sigma)
         logp = jnp.sum(jnp.where(mask, pointwise, 0.0))
         # NaN anywhere in the simulated window -> reject
         # (reference: LikelihoodPopPKTrajectory.cpp:416-424)
@@ -694,8 +699,12 @@ class PopPKLikelihood:
         x = central_obs * conversion
         obs = jnp.asarray(self.trial.observed, dtype=dtype)[None]
         mask = jnp.asarray(self.obs_mask)[None]
-        sigma = sd.reshape(B, 1, 1) + sd2.reshape(B, 1, 1) * jnp.maximum(x, 0.0)
-        pointwise = log_pdf_tnu4(x, obs, sigma)
+        x_sc = jnp.where(mask, x, 0.0)  # double-where (see log_prob)
+        obs_sc = jnp.where(mask, obs, 0.0)
+        sigma = sd.reshape(B, 1, 1) + sd2.reshape(B, 1, 1) * jnp.maximum(
+            x_sc, 0.0
+        )
+        pointwise = log_pdf_tnu4(x_sc, obs_sc, sigma)
         logp = jnp.sum(jnp.where(mask, pointwise, 0.0), axis=(1, 2))
         window = jnp.asarray(self.window_mask)[None]
         bad = jnp.any(jnp.where(window, jnp.isnan(x), False), axis=(1, 2))
@@ -779,8 +788,10 @@ class PopPKLikelihood:
         x = central * conversion
         obs = jnp.asarray(self.trial.observed, dtype=xs.dtype)[None]
         mask = jnp.asarray(self.obs_mask)[None]
-        sigma = sd[:, None, None] + sd2[:, None, None] * jnp.maximum(x, 0.0)
-        pointwise = log_pdf_tnu4(x, obs, sigma)
+        x_sc = jnp.where(mask, x, 0.0)  # double-where (see log_prob)
+        obs_sc = jnp.where(mask, obs, 0.0)
+        sigma = sd[:, None, None] + sd2[:, None, None] * jnp.maximum(x_sc, 0.0)
+        pointwise = log_pdf_tnu4(x_sc, obs_sc, sigma)
         logp = jnp.sum(jnp.where(mask, pointwise, 0.0), axis=(1, 2))
         window = jnp.asarray(self.window_mask)[None]
         bad = jnp.any(

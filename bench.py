@@ -432,6 +432,9 @@ def main():
         "transit_hbm_bw_fraction": hbm_frac(transit),
         "transit_ess_per_sec": rnd(transit.get("ess_per_sec", float("nan"))),
         "cellpop_evals_per_sec": rnd(cellpop["evals_per_sec"], 2),
+        "cellpop_vs_baseline": ratio(
+            cellpop["evals_per_sec"], "cellpop_evals_per_sec"
+        ),
         "cellpop_config": cellpop.get("config"),
         "banana_ess_per_sec": rnd(banana["ess_per_sec"]),
         "banana_ess_per_chain_mean": rnd(banana["ess_per_chain_mean"], 2),

@@ -76,12 +76,19 @@ def main():
         if res["ensemble_shard"]
         else res["num_ensembles"],
         num_ensembles=res["num_ensembles"],
+        temperatures=np.asarray(res["temperatures"]),
+        variables=np.array(varset.names),
+        variable_transform=np.asarray(varset.transforms, dtype=np.uint32),
     )
     if is_primary():
         print(
             f"{jax.process_count()} processes, {jax.device_count()} devices: "
             f"{res['evaluations']} evaluations at "
             f"{res['evals_per_second']:.0f} evals/s"
+        )
+        print(
+            "merge the shards into an R-loadable output.nc with:\n"
+            "  python -m bcm3_tpu.merge_shards samples_shard*.npz -o output.nc"
         )
 
 

@@ -81,6 +81,9 @@ def main():
         e0=res["ensemble_shard"][0] if res["ensemble_shard"] else -1,
         e_local=res["ensemble_shard"][1] if res["ensemble_shard"] else -1,
         num_ensembles=res["num_ensembles"],
+        temperatures=np.asarray(res["temperatures"]),
+        variables=np.array(varset.names),
+        variable_transform=np.asarray(varset.transforms, dtype=np.uint32),
         evaluations=res["evaluations"],
         primary=is_primary(),
     )

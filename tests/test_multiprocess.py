@@ -106,3 +106,40 @@ def test_two_process_distributed_run(tmp_path):
     np.testing.assert_allclose(
         merged["log_likelihood"], res["log_likelihood"], rtol=1e-10
     )
+
+    # the distributed path must end at the same R-loadable output.nc a
+    # single-process run produces (VERDICT r2 item 7; reference schema:
+    # src/sampler/SampleHandlerNetCDF.cpp:45-111) — merge via the CLI and
+    # read it back through the hdf5r-semantics contract loader
+    from bcm3_tpu.merge_shards import main as merge_main
+
+    out_nc = str(tmp_path / "output.nc")
+    rc = merge_main(
+        [str(tmp_path / f"shard_{pid}.npz") for pid in range(2)]
+        + ["-o", out_nc]
+    )
+    assert rc == 0
+
+    import shutil
+
+    from bcm3_tpu.io import hdf5r_compat as rload
+
+    for fn in ("prior.xml", "likelihood.xml"):
+        shutil.copy(f"{REF}/banana/{fn}", tmp_path / fn)
+    post = rload.bcm3_load_results(
+        str(tmp_path), ".", output_filename="output.nc",
+        load_sampler_adaptation=False,
+    )
+    # hdf5r view: samples[var, temp, sample]
+    N, L, D = merged["samples"].shape
+    assert post["posterior"]["samples"].shape == (D, L, N)
+    np.testing.assert_allclose(
+        post["posterior"]["samples"][:, -1, :],
+        merged["samples"][:, -1, :].T,
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        post["posterior"]["llikelihood"][-1, :],
+        merged["log_likelihood"][:, -1],
+        rtol=1e-12,
+    )

@@ -64,14 +64,41 @@ def main(num_evals: int = 2000):
         ).stdout
         return json.loads(out)["evals_per_sec"]
 
+    # cellpop anchor: dividing stiff cells, RODAS3 + analytic Jacobian
+    # (see tools/baseline_cellpop.cpp; same model as tools/bench_cellpop.py)
+    exe_cp = "/tmp/baseline_cellpop"
+    subprocess.run(
+        [
+            "g++", "-O3", "-march=native", "-std=c++17",
+            os.path.join(ROOT, "tools", "baseline_cellpop.cpp"),
+            "-o", exe_cp, "-pthread",
+        ],
+        check=True,
+    )
+    n_cp = max(num_evals // 20, 50)
+    cp = json.loads(
+        subprocess.run(
+            [exe_cp, str(n_cp), str(n_threads), "128", "16"],
+            check=True, capture_output=True, text=True,
+        ).stdout
+    )
+
     result = {
         "poppk_evals_per_sec": run_model("one"),
         "poppk_transit_evals_per_sec": run_model("one_transit"),
+        "cellpop_evals_per_sec": cp["cellpop_evals_per_sec"],
+        "cellpop_config": {
+            "max_cells": cp["max_cells"],
+            "initial_cells": cp["initial_cells"],
+            "num_evals": n_cp,
+        },
         "threads": n_threads,
         "num_evals": num_evals,
         "workload": "PopPK 16 patients, 24 timepoints, 14-day horizon; "
-        "models: one-compartment + one-compartment-transit",
-        "method": "C++ DP5 surrogate (see tools/baseline_surrogate.cpp); "
+        "models: one-compartment + one-compartment-transit; "
+        "cellpop: dividing stiff cells (128 max, 16 initial)",
+        "method": "C++ DP5 surrogate (see tools/baseline_surrogate.cpp) + "
+        "C++ RODAS3 cellpop surrogate (tools/baseline_cellpop.cpp); "
         "reference itself unbuildable here (Boost absent)",
     }
     with open(os.path.join(ROOT, "baseline_cpu.json"), "w") as f:
