@@ -73,7 +73,7 @@ def run(opts) -> int:
         sampler.expected_emitted_samples,
         varset.names,
         varset.transforms,
-        sampler.ladder,
+        getattr(sampler, "emit_ladder", sampler.ladder),
     )
     sampler.sample_handlers.append(handler)
 

@@ -61,6 +61,10 @@ _DEFAULTS = {
     "issampler.batch_size": "1024",
     # TPU-native extension: mid-run checkpoint/resume
     "ptmhsampler.checkpoint_file": "",
+    # emit only the fixed-temperature chains, like the reference's
+    # EmitSample (SamplerPT.cpp:321-330); cuts device->host transfer by
+    # the ladder length
+    "ptmhsampler.emit_fixed_only": "false",
 }
 
 
@@ -126,6 +130,7 @@ def pt_config_from_options(opts: Dict[str, str]) -> PTConfig:
         initial_position_tries=int(g("ptmhsampler.initial_position_tries")),
         num_ensembles=int(g("ptmhsampler.num_ensembles")),
         checkpoint_file=g("ptmhsampler.checkpoint_file") or "",
+        emit_fixed_only=_parse_bool(g("ptmhsampler.emit_fixed_only")),
     )
 
 

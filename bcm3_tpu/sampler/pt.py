@@ -170,6 +170,13 @@ class PTConfig:
     # state stays at full precision, only the emitted copies are cast
     # (the reference's own SampleHistory is float32, SampleHistory.cpp:41).
     emit_dtype: Any = None
+    # Emit only the fixed-temperature (T=1) row of each ladder, exactly
+    # like the reference's EmitSample (reference: SamplerPT.cpp:321-330
+    # emits only chains with GetIsFixedTemperature()). Cuts device->host
+    # transfer by the ladder length; the heated chains remain on device
+    # for exchange moves. Default False keeps the all-temperature store
+    # (needed by predict over temperatures / marginal-likelihood sums).
+    emit_fixed_only: bool = False
 
     def resolved_dtype(self):
         if self.dtype is not None:
@@ -247,6 +254,10 @@ class SamplerPT:
             C, config.temperature_schedule_power, config.temperature_schedule_max
         )
         self.temperatures = np.tile(self.ladder, E)
+        # emission view: all temperatures, or only the fixed (T=1) row per
+        # ladder (reference: SamplerPT.cpp:321-330)
+        self._emit_L = 1 if (config.emit_fixed_only and C > 1) else C
+        self.emit_ladder = self.ladder[C - self._emit_L:]
 
         ptype = config.proposal_type
         if ptype == "parametric_mixture":
@@ -807,15 +818,21 @@ class SamplerPT:
                 state, proposals = carry
             else:
                 (state, proposals), _ = one_iter(carry, None)
+            x_e, lp_e, ll_e = state.x, state.lprior, state.llh
+            if self._emit_L != self.ladder_size:
+                # fixed-temperature rows only (reference: SamplerPT.cpp:
+                # 321-330); the slice happens on device, so the heated
+                # chains never cross the host link
+                L = self.ladder_size
+                D = x_e.shape[-1]
+                x_e = x_e.reshape(-1, L, D)[:, L - 1, :]
+                lp_e = lp_e.reshape(-1, L)[:, L - 1]
+                ll_e = ll_e.reshape(-1, L)[:, L - 1]
             edt = self.config.emit_dtype
             if edt is not None:
-                out = (
-                    state.x.astype(edt),
-                    state.lprior.astype(edt),
-                    state.llh.astype(edt),
-                )
+                out = (x_e.astype(edt), lp_e.astype(edt), ll_e.astype(edt))
             else:
-                out = (state.x, state.lprior, state.llh)
+                out = (x_e, lp_e, ll_e)
             return (state, proposals), out
 
         if with_assigner:
@@ -1281,7 +1298,7 @@ class SamplerPT:
             if cfg.emit_chunk_size is None:
                 # auto: ~32 MB per pull
                 bytes_per_emit = (
-                    self.num_chains
+                    (self.num_chains // self.ladder_size) * self._emit_L
                     * (self.num_variables + 2)
                     * jnp.dtype(cfg.emit_dtype or self.dtype).itemsize
                 )
@@ -1296,7 +1313,7 @@ class SamplerPT:
                     # process materializes and stores only the ensembles it
                     # owns (no host-0 funnel); merge with
                     # bcm3_tpu.io.output.merge_sharded_results
-                    L = self.ladder_size
+                    L = self._emit_L
                     x_loc, c0 = _local_chain_rows(ys_dev[0])
                     if c0 % L == 0 and x_loc.shape[1] % L == 0:
                         lp_loc, _ = _local_chain_rows(ys_dev[1])
@@ -1320,7 +1337,7 @@ class SamplerPT:
                 all_lprior.append(lps)
                 all_llh.append(lls)
                 for handler in self.sample_handlers:
-                    handler.receive_samples(xs, lps, lls, self.ladder)
+                    handler.receive_samples(xs, lps, lls, self.emit_ladder)
                 if self.progress is not None:
                     # running MAP over the fixed-temperature chains
                     # (reference: SamplerPT.cpp:223-226)
@@ -1379,7 +1396,7 @@ class SamplerPT:
         self._log_statistics(state)
 
         if not all_x:  # resumed from a checkpoint of a finished run
-            C = self.ladder_size
+            C = self._emit_L
             all_x = [np.zeros((0, C, self.num_variables))]
             all_lprior = [np.zeros((0, C))]
             all_llh = [np.zeros((0, C))]
@@ -1387,7 +1404,7 @@ class SamplerPT:
             "samples": np.concatenate(all_x, axis=0),
             "log_prior": np.concatenate(all_lprior, axis=0),
             "log_likelihood": np.concatenate(all_llh, axis=0),
-            "temperatures": self.ladder,
+            "temperatures": self.emit_ladder,
             "acceptance": {
                 "attempted_mutate": _to_host(state.att_mut),
                 "accepted_mutate": _to_host(state.acc_mut),
@@ -1440,7 +1457,7 @@ class SamplerPT:
         adjacent in the output store. ``num_ensembles`` overrides the
         configured count for per-host shards of the ensemble axis."""
         E = self.num_ensembles if num_ensembles is None else num_ensembles
-        C = self.ladder_size
+        C = self._emit_L
         if E == 1 and arr.shape[1] == C:
             return arr
         S = arr.shape[0]

@@ -63,7 +63,8 @@ PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
 PEAK_HBM_BW = {"TPU v5 lite": 819e9, "TPU v5e": 819e9}
 
 
-def build_sampler(num_samples, adapt_times, seed, pk_type="one", num_ensembles=None):
+def build_sampler(num_samples, adapt_times, seed, pk_type="one",
+                  num_ensembles=None, emit_fixed_only=False):
     import jax.numpy as jnp
 
     from bcm3_tpu.likelihoods import create_likelihood
@@ -103,6 +104,7 @@ def build_sampler(num_samples, adapt_times, seed, pk_type="one", num_ensembles=N
         swapping_scheme="deterministic_even_odd",
         seed=seed,
         emit_dtype=jnp.float32,
+        emit_fixed_only=emit_fixed_only,
     )
     return SamplerPT(prior, lik, cfg)
 

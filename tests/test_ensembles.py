@@ -136,3 +136,45 @@ def test_chunked_emission_bit_identical():
     np.testing.assert_array_equal(
         r_mono["log_likelihood"], r_chunk["log_likelihood"]
     )
+
+
+def test_emit_fixed_only_bit_identical_t1():
+    """emit_fixed_only pulls only the fixed-temperature rows to the host
+    (reference parity: SamplerPT.cpp:321-330 emits only
+    GetIsFixedTemperature() chains); the T=1 stream must be bit-equal to
+    the all-temperature emission's last column, and the store shape
+    drops to one temperature."""
+    import numpy as np
+
+    from bcm3_tpu.likelihoods import create_likelihood
+    from bcm3_tpu.model.prior import Prior
+    from bcm3_tpu.model.variables import VariableSet
+    from bcm3_tpu.sampler import PTConfig, SamplerPT
+
+    ref = "/root/reference/examples/banana"
+    vs = VariableSet.from_xml(f"{ref}/prior.xml")
+    prior = Prior.from_xml(f"{ref}/prior.xml", vs)
+    lik = create_likelihood(f"{ref}/likelihood.xml", vs)
+    common = dict(
+        num_samples=40,
+        use_every_nth=2,
+        num_chains=4,
+        num_ensembles=2,
+        adapt_proposal_samples=20,
+        adapt_proposal_times=1,
+        seed=5,
+    )
+    r_all = SamplerPT(prior, lik, PTConfig(**common)).run()
+    r_fix = SamplerPT(prior, lik, PTConfig(emit_fixed_only=True, **common)).run()
+    assert r_fix["samples"].shape[1] == 1
+    assert r_fix["temperatures"].shape == (1,)
+    assert r_fix["temperatures"][0] == 1.0
+    np.testing.assert_array_equal(
+        r_all["samples"][:, -1, :], r_fix["samples"][:, 0, :]
+    )
+    np.testing.assert_array_equal(
+        r_all["log_likelihood"][:, -1], r_fix["log_likelihood"][:, 0]
+    )
+    np.testing.assert_array_equal(
+        r_all["log_prior"][:, -1], r_fix["log_prior"][:, 0]
+    )

@@ -1,0 +1,98 @@
+"""Patient-count scaling probe (VERDICT r2 item 5).
+
+The reference's PopPK evaluation cost is linear in the number of
+patients (serial per-patient integration,
+LikelihoodPopPKTrajectory.cpp:274); on the TPU the patient axis is just
+another batch dimension, so evals/s should stay near-flat until the
+chip saturates. This measures the headline expm config at growing
+patient counts (device-only and e2e), plus the CPU surrogate at the
+same trial sizes for the apples-to-apples curve.
+
+Usage: python tools/bench_patients.py [--ensembles N] [patients...]
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import numpy as np
+
+import bench
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def cpu_rate(num_patients: int, num_evals: int = 400) -> float:
+    """CPU surrogate rate at this trial size (2-thread DP5, the
+    baseline_cpu.json method)."""
+    from bcm3_tpu.likelihoods.poppk_synth import synthesize_trial
+
+    trial, _ = synthesize_trial(
+        num_patients=num_patients, num_timepoints=bench.NUM_TIMEPOINTS, seed=42
+    )
+    data_file = f"/tmp/bcm3_trial_p{num_patients}.txt"
+    with open(data_file, "w") as f:
+        P, T = trial.num_patients, len(trial.time)
+        f.write(f"{P} {T}\n")
+        f.write(" ".join(f"{v:.17g}" for v in trial.time) + "\n")
+        for j in range(P):
+            f.write(" ".join(
+                "nan" if np.isnan(v) else f"{v:.17g}" for v in trial.observed[j]
+            ) + "\n")
+        f.write(" ".join(f"{v:.17g}" for v in trial.dose) + "\n")
+        f.write(" ".join(f"{v:.17g}" for v in trial.dosing_interval) + "\n")
+        for j in range(P):
+            f.write(" ".join(str(int(v)) for v in trial.interruptions[j]) + "\n")
+    exe = "/tmp/baseline_surrogate"
+    if not os.path.exists(exe):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17",
+             os.path.join(ROOT, "tools", "baseline_surrogate.cpp"),
+             "-o", exe, "-pthread"],
+            check=True,
+        )
+    out = subprocess.run(
+        [exe, data_file, str(num_evals), str(os.cpu_count() or 1), "one"],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    return json.loads(out)["evals_per_sec"]
+
+
+def main():
+    args = sys.argv[1:]
+    ens = bench.NUM_ENSEMBLES
+    if "--ensembles" in args:
+        i = args.index("--ensembles")
+        ens = int(args[i + 1])
+        del args[i:i + 2]
+    patients = [int(a) for a in args] or [16, 64, 256]
+    rows = []
+    for P in patients:
+        bench.NUM_PATIENTS = P
+        r = bench.bench_config("one", ens)
+        cpu = cpu_rate(P)
+        row = {
+            "patients": P,
+            "tpu_e2e_evals_per_sec": round(r["evals_per_sec"], 1),
+            "tpu_device_evals_per_sec": round(r["device_evals_per_sec"], 1),
+            "cpu_evals_per_sec": round(cpu, 1),
+            "speedup_device": round(r["device_evals_per_sec"] / cpu, 1),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"ensembles": ens, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
