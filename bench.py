@@ -45,13 +45,22 @@ NUM_PATIENTS = 16
 NUM_TIMEPOINTS = 24
 NUM_CHAINS = 8
 # independent PT replicas batched on device — the TPU-native throughput
-# lever. 8192 replicas x 8 chains = 65536 concurrent chains saturates a
-# single v5e chip without exhausting HBM for the expm model; the DP5
-# transit model carries more live state per chain, so it runs at 2048.
+# lever. 8192 replicas x 8 chains = 65536 concurrent chains is the
+# MEASURED device-rate optimum for the expm model on a v5e (the sweep in
+# tools/emit_gap_probe.py: 4.73M evals/s device-only at 8192 vs 3.1M at
+# 32768+ — more chains past saturation just add HBM traffic); transit
+# peaks at 4096 ensembles (tools/bench_ensembles.py --transit).
 NUM_ENSEMBLES = int(os.environ.get("BENCH_ENSEMBLES", "8192"))
-NUM_ENSEMBLES_TRANSIT = int(os.environ.get("BENCH_ENSEMBLES_TRANSIT", "1024"))
+NUM_ENSEMBLES_TRANSIT = int(os.environ.get("BENCH_ENSEMBLES_TRANSIT", "4096"))
 N_REPS = int(os.environ.get("BENCH_REPS", "3"))
 NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "100"))
+# Emit only the fixed-temperature chains, the reference's own emission
+# semantics (SamplerPT.cpp:321-330 EmitSample forwards only
+# GetIsFixedTemperature() chains). Measured on the tunneled v5e at 8192
+# ensembles: e2e 695k -> 3.20M evals/s (68% of device-only; the
+# remainder is tunnel serialization of compute and transfer RPCs).
+# Set BENCH_EMIT_FIXED=0 for the all-temperature store.
+EMIT_FIXED = os.environ.get("BENCH_EMIT_FIXED", "1") != "0"
 
 # TPU v5e (reported as "TPU v5 lite") peak: 197 TFLOP/s bf16. The bench
 # computes in float32 (f64 tests run on CPU), so MFU vs the bf16 peak is
@@ -188,8 +197,11 @@ def ess_stats(res, num_ensembles, elapsed, max_ensembles=256):
     }
 
 
-def bench_config(pk_type, num_ensembles):
-    s = build_sampler(NUM_SAMPLES, 0, 2024, pk_type, num_ensembles)
+def bench_config(pk_type, num_ensembles, emit_fixed_only=None):
+    if emit_fixed_only is None:
+        emit_fixed_only = EMIT_FIXED
+    s = build_sampler(NUM_SAMPLES, 0, 2024, pk_type, num_ensembles,
+                      emit_fixed_only=emit_fixed_only)
     s.run()  # compile + warm caches
     rates = []
     timings = []
@@ -279,7 +291,11 @@ def bench_cellpop():
 
     cells = int(os.environ.get("BENCH_CELLPOP_CELLS", "128"))
     num_cells = int(os.environ.get("BENCH_CELLPOP_INITIAL", "16"))
-    batch = int(os.environ.get("BENCH_CELLPOP_BATCH", "64"))
+    # measured on v5e: 64 -> 1630, 256 -> 2481, 512 -> 2624 evals/s
+    # (adaptive Rosenbrock; the static-budget form is 100x slower here
+    # because the budget must cover the worst-case step count — see
+    # BASELINE.md)
+    batch = int(os.environ.get("BENCH_CELLPOP_BATCH", "256"))
     trips = int(os.environ.get("BENCH_CELLPOP_TRIPS", "512"))
     solver = os.environ.get("BENCH_CELLPOP_SOLVER", "CVODE")
     lik = build_likelihood(cells, num_cells, solver, trips)
@@ -454,6 +470,7 @@ def main():
             "ensembles_transit": NUM_ENSEMBLES_TRANSIT,
             "thin": 5,
             "samples": NUM_SAMPLES,
+            "emit_fixed_only": EMIT_FIXED,
         },
     }
     print(json.dumps(out))
