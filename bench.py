@@ -296,7 +296,10 @@ def bench_cellpop():
     # because the budget must cover the worst-case step count — see
     # BASELINE.md)
     batch = int(os.environ.get("BENCH_CELLPOP_BATCH", "256"))
-    trips = int(os.environ.get("BENCH_CELLPOP_TRIPS", "512"))
+    # 0 = adaptive while_loop stepping — the measured-fast shape for the
+    # top-level cellpop solve (the static budget form is 100x slower
+    # here, see BASELINE.md)
+    trips = int(os.environ.get("BENCH_CELLPOP_TRIPS", "0"))
     solver = os.environ.get("BENCH_CELLPOP_SOLVER", "CVODE")
     lik = build_likelihood(cells, num_cells, solver, trips)
     import jax.numpy as jnp
