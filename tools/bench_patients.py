@@ -76,22 +76,35 @@ def main():
         i = args.index("--ensembles")
         ens = int(args[i + 1])
         del args[i:i + 2]
-    patients = [int(a) for a in args] or [16, 64, 256]
+    skip_cpu = os.environ.get("BENCH_PATIENTS_SKIP_CPU", "0") == "1"
+    # spec: "P" (headline ensembles) or "P:ensembles" — the batched expm
+    # workspace scales with (patients*stops)^2 per chain, so larger
+    # trials need proportionally fewer ensembles to fit
+    specs = args or ["16", "64:2048", "256:512"]
     rows = []
-    for P in patients:
+    for spec in specs:
+        if ":" in spec:
+            P, e = (int(v) for v in spec.split(":"))
+        else:
+            P, e = int(spec), ens
         bench.NUM_PATIENTS = P
-        r = bench.bench_config("one", ens)
-        cpu = cpu_rate(P)
+        r = bench.bench_config("one", e)
         row = {
             "patients": P,
+            "ensembles": e,
             "tpu_e2e_evals_per_sec": round(r["evals_per_sec"], 1),
             "tpu_device_evals_per_sec": round(r["device_evals_per_sec"], 1),
-            "cpu_evals_per_sec": round(cpu, 1),
-            "speedup_device": round(r["device_evals_per_sec"] / cpu, 1),
+            "tpu_patient_evals_per_sec": round(
+                r["device_evals_per_sec"] * P, 1
+            ),
         }
+        if not skip_cpu:
+            cpu = cpu_rate(P)
+            row["cpu_evals_per_sec"] = round(cpu, 1)
+            row["speedup_device"] = round(r["device_evals_per_sec"] / cpu, 1)
         rows.append(row)
         print(json.dumps(row), flush=True)
-    print(json.dumps({"ensembles": ens, "rows": rows}))
+    print(json.dumps({"rows": rows}))
 
 
 if __name__ == "__main__":
