@@ -600,6 +600,22 @@ class SamplerPT:
                     ),
                     prop, x_block, cur_cluster, chain_keys_prop,
                 )
+            elif prop.means.shape[0] == self.ladder_size:
+                # shared (L, K, ...) mixture layout: ensemble-batched
+                # kernel — the auto-batched per-lane form broadcasts the
+                # shared Cholesky factors to a per-chain (C, K, d, d)
+                # intermediate (87 GB at d=520; see proposal.py)
+                E, L = self.num_ensembles, self.ladder_size
+                d = x_block.shape[-1]
+                nb, sel = prop_mod.propose_ensemble(
+                    prop,
+                    x_block.reshape(E, L, d),
+                    lower,
+                    upper,
+                    chain_keys_prop.reshape((E, L) + chain_keys_prop.shape[1:]),
+                )
+                new_block = nb.reshape(C, d)
+                selected = sel.reshape(C)
             else:
                 new_block, selected = self._prop_apply(
                     lambda p, xb, k: prop_mod.propose(p, xb, lower, upper, k),
@@ -636,6 +652,12 @@ class SamplerPT:
                     prop_mod.mh_log_ratio_clustered,
                     prop, x_block, new_block, cur_cluster, new_cluster,
                 )
+            elif prop.means.shape[0] == self.ladder_size:
+                E, L = self.num_ensembles, self.ladder_size
+                d = x_block.shape[-1]
+                mh = prop_mod.mh_log_ratio_ensemble(
+                    prop, x_block.reshape(E, L, d), new_block.reshape(E, L, d)
+                ).reshape(C)
             else:
                 mh = self._prop_apply(
                     prop_mod.mh_log_ratio, prop, x_block, new_block
