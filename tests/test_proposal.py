@@ -107,6 +107,96 @@ def test_propose_stays_in_bounds():
         assert int(sel) == 0
 
 
+def _random_gmm(rng, k, d):
+    means = rng.normal(size=(k, d))
+    covs = np.empty((k, d, d))
+    for i in range(k):
+        a = rng.normal(size=(d, d))
+        covs[i] = a @ a.T + d * np.eye(d)
+    w = rng.uniform(0.5, 2.0, k)
+    return GMM.from_params(means, covs, w / w.sum())
+
+
+def _shared_layout_prop(rng, E, L, k, d, t_dof=0.0):
+    """Shared (L, K, ...) mixture layout with randomized per-chain scales,
+    as the engine builds it post-54f942f (one GMM per ladder position)."""
+    import dataclasses
+
+    gmms = [_random_gmm(rng, k, d) for _ in range(L)]
+    prop = pm.build_block_proposal(
+        gmms, E * L, d, jnp.float64, t_dof, "gaussian_mixture"
+    )
+    scales = jnp.asarray(rng.uniform(0.2, 3.0, size=(E * L, k)))
+    return dataclasses.replace(prop, scales=scales)
+
+
+def _tiled_per_chain(prop, E):
+    """Legacy per-chain layout equivalent: tile the (L, ...) mixture fields
+    to (C, ...) so the flat-vmapped per-chain kernels apply."""
+    import dataclasses
+
+    tile = lambda a: jnp.tile(a, (E,) + (1,) * (a.ndim - 1))
+    return dataclasses.replace(
+        prop,
+        means=tile(prop.means),
+        chols=tile(prop.chols),
+        inv_chols=tile(prop.inv_chols),
+        log_weights=tile(prop.log_weights),
+        log_c=tile(prop.log_c),
+    )
+
+
+def test_ensemble_propose_matches_vmapped_per_chain():
+    """propose_ensemble must reproduce the vmapped per-chain propose()
+    exactly — same RNG stream (identical kk/kz/kg split structure), same
+    component selection, same step — for both the Gaussian and the
+    t-distributed (t_dof>0) proposal."""
+    rng = np.random.default_rng(3)
+    E, L, k, d = 7, 4, 3, 5
+    C = E * L
+    lower = jnp.asarray(rng.uniform(-6, -4, d))
+    upper = jnp.asarray(rng.uniform(4, 6, d))
+    for t_dof in (0.0, 5.0):
+        prop = _shared_layout_prop(rng, E, L, k, d, t_dof)
+        x = jnp.asarray(rng.normal(size=(C, d)))
+        keys = jax.random.split(jax.random.PRNGKey(11), C)
+
+        nb_e, sel_e = pm.propose_ensemble(
+            prop, x.reshape(E, L, d), lower, upper, keys.reshape(E, L, -1)
+        )
+
+        flat = _tiled_per_chain(prop, E)
+        nb_v, sel_v = jax.vmap(
+            lambda p, xb, kk: pm.propose(p, xb, lower, upper, kk)
+        )(flat, x, keys)
+
+        np.testing.assert_array_equal(
+            np.asarray(sel_e).reshape(C), np.asarray(sel_v)
+        )
+        np.testing.assert_allclose(
+            np.asarray(nb_e).reshape(C, d), np.asarray(nb_v), rtol=1e-12,
+            atol=1e-12,
+        )
+
+
+def test_ensemble_mh_ratio_matches_vmapped_per_chain():
+    rng = np.random.default_rng(4)
+    E, L, k, d = 5, 3, 4, 6
+    C = E * L
+    prop = _shared_layout_prop(rng, E, L, k, d)
+    x = jnp.asarray(rng.normal(size=(C, d)))
+    xn = jnp.asarray(rng.normal(size=(C, d)))
+
+    mh_e = pm.mh_log_ratio_ensemble(
+        prop, x.reshape(E, L, d), xn.reshape(E, L, d)
+    )
+    flat = _tiled_per_chain(prop, E)
+    mh_v = jax.vmap(pm.mh_log_ratio)(flat, x, xn)
+    np.testing.assert_allclose(
+        np.asarray(mh_e).reshape(C), np.asarray(mh_v), rtol=1e-11, atol=1e-11
+    )
+
+
 def test_scale_adaptation_direction():
     gmm = GMM.from_params(np.zeros((1, 1)), np.eye(1)[None], np.ones(1))
     prop = _build_prop([gmm], 1)
