@@ -326,6 +326,72 @@ def mh_log_ratio_ensemble(prop: BlockProposal, x_el, new_el):
     return rev - fwd
 
 
+def propose_clustered_ensemble(
+    prop: BlockProposal, x_el, cluster_el, lower, upper, keys_el
+):
+    """Batched `propose_clustered` over (E, L) lanes with shared mixture
+    params (same rationale as `propose_ensemble`: a per-lane
+    `chols[cluster]` gather against the shared (L, K, d, d) factors
+    materializes a (C, d, d) intermediate; the one-hot einsum form keeps
+    the factors unbatched). Per-lane RNG split structure (kz, kg) is
+    identical to the per-chain kernel, so the random stream is
+    unchanged. Returns (new_block (E, L, d), selected (E, L) int32)."""
+    E, L, d = x_el.shape
+    K = prop.means.shape[1]
+    selected = jnp.clip(cluster_el, 0, K - 1)
+
+    t_dof = prop.t_dof
+
+    def draw(key):
+        kz, kg = jax.random.split(key)
+        z = jax.random.normal(kz, (d,), dtype=x_el.dtype)
+        if t_dof > 0.0:
+            w = jax.random.gamma(kg, 0.5 * t_dof, dtype=x_el.dtype) * (
+                0.5 * t_dof
+            )
+            t_scale = jax.lax.rsqrt(w)
+        else:
+            t_scale = jnp.asarray(1.0, dtype=x_el.dtype)
+        return z, t_scale
+
+    z, t_scale = jax.vmap(jax.vmap(draw))(keys_el)
+
+    steps = jnp.einsum("lkij,elj->elki", prop.chols, z)  # (E, L, K, d)
+    onehot = jax.nn.one_hot(selected, K, dtype=x_el.dtype)  # (E, L, K)
+    step = jnp.einsum("elk,elki->eli", onehot, steps)
+    scales_el = prop.scales.reshape(E, L, K)
+    scale_sel = jnp.sum(onehot * scales_el, axis=-1)  # (E, L)
+
+    new_block = x_el + step * (t_scale * scale_sel)[..., None]
+    new_block = reflect_on_bounds(new_block, lower, upper)
+    return new_block, selected.astype(jnp.int32)
+
+
+def mh_log_ratio_clustered_ensemble(
+    prop: BlockProposal, x_el, new_el, cur_cluster_el, new_cluster_el
+):
+    """Batched `mh_log_ratio_clustered` over (E, L) lanes with shared
+    mixture params. The single-component density of the step is symmetric
+    in ±diff, so the (E, L, K) density table is computed once and the
+    forward/backward terms are one-hot picks. Returns (E, L)."""
+    E, L, d = x_el.shape
+    K = prop.means.shape[1]
+    cc = jnp.clip(cur_cluster_el, 0, K - 1)
+    nc = jnp.clip(new_cluster_el, 0, K - 1)
+
+    scales_el = prop.scales.reshape(E, L, K)
+    v = (new_el - x_el)[:, :, None, :] / scales_el[..., None]  # (E, L, K, d)
+    s = jnp.einsum("lkij,elkj->elki", prop.inv_chols, v)
+    quad = -0.5 * jnp.sum(s * s, axis=-1)
+    base = -2.0 * jnp.log(scales_el) + prop.log_c[None] + quad  # (E, L, K)
+
+    oh_cc = jax.nn.one_hot(cc, K, dtype=x_el.dtype)
+    oh_nc = jax.nn.one_hot(nc, K, dtype=x_el.dtype)
+    log_fwd = jnp.sum(oh_cc * base, axis=-1)
+    log_bwd = jnp.sum(oh_nc * base, axis=-1)
+    return jnp.where(cc == nc, 0.0, log_bwd - log_fwd).astype(x_el.dtype)
+
+
 def propose_clustered(prop: BlockProposal, x_block, cluster, lower, upper, key):
     """Clustered-covariance draw, one chain slice: the component is the
     cluster of the current (full) position instead of a responsibility draw

@@ -594,12 +594,31 @@ class SamplerPT:
                 cur_cluster = spectral_mod.assign_batch(
                     assigner, x.astype(jnp.float64)
                 )
-                new_block, selected = self._prop_apply(
-                    lambda p, xb, cl, k: prop_mod.propose_clustered(
-                        p, xb, cl, lower, upper, k
-                    ),
-                    prop, x_block, cur_cluster, chain_keys_prop,
-                )
+                if prop.means.shape[0] == self.ladder_size:
+                    # shared (L, K, ...) layout: ensemble-batched kernel
+                    # (a per-lane chols[cluster] gather materializes a
+                    # (C, d, d) intermediate; see proposal.py)
+                    E, L = self.num_ensembles, self.ladder_size
+                    d = x_block.shape[-1]
+                    nb, sel = prop_mod.propose_clustered_ensemble(
+                        prop,
+                        x_block.reshape(E, L, d),
+                        cur_cluster.reshape(E, L),
+                        lower,
+                        upper,
+                        chain_keys_prop.reshape(
+                            (E, L) + chain_keys_prop.shape[1:]
+                        ),
+                    )
+                    new_block = nb.reshape(C, d)
+                    selected = sel.reshape(C)
+                else:
+                    new_block, selected = self._prop_apply(
+                        lambda p, xb, cl, k: prop_mod.propose_clustered(
+                            p, xb, cl, lower, upper, k
+                        ),
+                        prop, x_block, cur_cluster, chain_keys_prop,
+                    )
             elif prop.means.shape[0] == self.ladder_size:
                 # shared (L, K, ...) mixture layout: ensemble-batched
                 # kernel — the auto-batched per-lane form broadcasts the
@@ -648,10 +667,21 @@ class SamplerPT:
                 new_cluster = spectral_mod.assign_batch(
                     assigner, x_new.astype(jnp.float64)
                 )
-                mh = self._prop_apply(
-                    prop_mod.mh_log_ratio_clustered,
-                    prop, x_block, new_block, cur_cluster, new_cluster,
-                )
+                if prop.means.shape[0] == self.ladder_size:
+                    E, L = self.num_ensembles, self.ladder_size
+                    d = x_block.shape[-1]
+                    mh = prop_mod.mh_log_ratio_clustered_ensemble(
+                        prop,
+                        x_block.reshape(E, L, d),
+                        new_block.reshape(E, L, d),
+                        cur_cluster.reshape(E, L),
+                        new_cluster.reshape(E, L),
+                    ).reshape(C)
+                else:
+                    mh = self._prop_apply(
+                        prop_mod.mh_log_ratio_clustered,
+                        prop, x_block, new_block, cur_cluster, new_cluster,
+                    )
             elif prop.means.shape[0] == self.ladder_size:
                 E, L = self.num_ensembles, self.ladder_size
                 d = x_block.shape[-1]

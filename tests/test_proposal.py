@@ -197,6 +197,52 @@ def test_ensemble_mh_ratio_matches_vmapped_per_chain():
     )
 
 
+def test_clustered_ensemble_kernels_match_vmapped_per_chain():
+    """propose_clustered_ensemble / mh_log_ratio_clustered_ensemble must
+    reproduce the vmapped per-chain clustered kernels exactly (identical
+    kz/kg split structure, one-hot pick == gather)."""
+    rng = np.random.default_rng(5)
+    E, L, k, d = 6, 3, 4, 5
+    C = E * L
+    lower = jnp.asarray(rng.uniform(-6, -4, d))
+    upper = jnp.asarray(rng.uniform(4, 6, d))
+    for t_dof in (0.0, 4.0):
+        prop = _shared_layout_prop(rng, E, L, k, d, t_dof)
+        x = jnp.asarray(rng.normal(size=(C, d)))
+        xn = jnp.asarray(rng.normal(size=(C, d)))
+        cur = jnp.asarray(rng.integers(0, k, C), dtype=jnp.int32)
+        new = jnp.asarray(rng.integers(0, k, C), dtype=jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(13), C)
+
+        nb_e, sel_e = pm.propose_clustered_ensemble(
+            prop, x.reshape(E, L, d), cur.reshape(E, L), lower, upper,
+            keys.reshape(E, L, -1),
+        )
+        flat = _tiled_per_chain(prop, E)
+        nb_v, sel_v = jax.vmap(
+            lambda p, xb, cl, kk: pm.propose_clustered(
+                p, xb, cl, lower, upper, kk
+            )
+        )(flat, x, cur, keys)
+        np.testing.assert_array_equal(
+            np.asarray(sel_e).reshape(C), np.asarray(sel_v)
+        )
+        np.testing.assert_allclose(
+            np.asarray(nb_e).reshape(C, d), np.asarray(nb_v), rtol=1e-12,
+            atol=1e-12,
+        )
+
+        mh_e = pm.mh_log_ratio_clustered_ensemble(
+            prop, x.reshape(E, L, d), xn.reshape(E, L, d),
+            cur.reshape(E, L), new.reshape(E, L),
+        )
+        mh_v = jax.vmap(pm.mh_log_ratio_clustered)(flat, x, xn, cur, new)
+        np.testing.assert_allclose(
+            np.asarray(mh_e).reshape(C), np.asarray(mh_v), rtol=1e-11,
+            atol=1e-11,
+        )
+
+
 def test_scale_adaptation_direction():
     gmm = GMM.from_params(np.zeros((1, 1)), np.eye(1)[None], np.ones(1))
     prop = _build_prop([gmm], 1)
