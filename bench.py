@@ -294,8 +294,8 @@ def bench_cellpop():
     # measured on v5e: 64 -> 1630, 256 -> 2481, 512 -> 2624 evals/s
     # (adaptive Rosenbrock; the static-budget form is 100x slower here
     # because the budget must cover the worst-case step count — see
-    # BASELINE.md)
-    batch = int(os.environ.get("BENCH_CELLPOP_BATCH", "256"))
+    # BASELINE.md); 512 is the measured saturation point
+    batch = int(os.environ.get("BENCH_CELLPOP_BATCH", "512"))
     # 0 = adaptive while_loop stepping — the measured-fast shape for the
     # top-level cellpop solve (the static budget form is 100x slower
     # here, see BASELINE.md)
