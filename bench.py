@@ -73,7 +73,8 @@ PEAK_HBM_BW = {"TPU v5 lite": 819e9, "TPU v5e": 819e9}
 
 
 def build_sampler(num_samples, adapt_times, seed, pk_type="one",
-                  num_ensembles=None, emit_fixed_only=False):
+                  num_ensembles=None, emit_fixed_only=False,
+                  emit_dtype="float32"):
     import jax.numpy as jnp
 
     from bcm3_tpu.likelihoods import create_likelihood
@@ -112,7 +113,7 @@ def build_sampler(num_samples, adapt_times, seed, pk_type="one",
         max_history_size=2000,
         swapping_scheme="deterministic_even_odd",
         seed=seed,
-        emit_dtype=jnp.float32,
+        emit_dtype=jnp.dtype(emit_dtype),
         emit_fixed_only=emit_fixed_only,
     )
     return SamplerPT(prior, lik, cfg)

@@ -178,3 +178,44 @@ def test_emit_fixed_only_bit_identical_t1():
     np.testing.assert_array_equal(
         r_all["log_prior"][:, -1], r_fix["log_prior"][:, 0]
     )
+
+
+def test_emit_dtype_rounds_identical_stream():
+    """Reduced-precision emission (the bandwidth lever for tunneled
+    devices, see tools/emit_gap_probe.py) only rounds the emitted copy:
+    the sampled stream is dtype-independent, so the float16 store must
+    equal the float32 store cast to float16, element for element."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bcm3_tpu.likelihoods import create_likelihood
+    from bcm3_tpu.model.prior import Prior
+    from bcm3_tpu.model.variables import VariableSet
+    from bcm3_tpu.sampler import PTConfig, SamplerPT
+
+    ref = "/root/reference/examples/banana"
+    vs = VariableSet.from_xml(f"{ref}/prior.xml")
+    prior = Prior.from_xml(f"{ref}/prior.xml", vs)
+    lik = create_likelihood(f"{ref}/likelihood.xml", vs)
+    common = dict(
+        num_samples=30,
+        use_every_nth=2,
+        num_chains=4,
+        num_ensembles=2,
+        seed=5,
+    )
+    r32 = SamplerPT(
+        prior, lik, PTConfig(emit_dtype=jnp.float32, **common)
+    ).run()
+    r16 = SamplerPT(
+        prior, lik, PTConfig(emit_dtype=jnp.float16, **common)
+    ).run()
+    assert r16["samples"].dtype == np.float16
+    np.testing.assert_array_equal(
+        np.asarray(r32["samples"], np.float32).astype(np.float16),
+        r16["samples"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r32["log_likelihood"], np.float32).astype(np.float16),
+        r16["log_likelihood"],
+    )

@@ -35,12 +35,12 @@ import numpy as np
 import bench
 
 
-def probe(num_ensembles: int, fixed_only: bool):
+def probe(num_ensembles: int, fixed_only: bool, emit_dtype: str = "float32"):
     import jax.numpy as jnp
 
     s = bench.build_sampler(
         bench.NUM_SAMPLES, 0, 2024, "one", num_ensembles,
-        emit_fixed_only=fixed_only,
+        emit_fixed_only=fixed_only, emit_dtype=emit_dtype,
     )
     res = s.run()  # compile + warmup
     t0 = time.time()
@@ -69,6 +69,7 @@ def probe(num_ensembles: int, fixed_only: bool):
     out = {
         "ensembles": num_ensembles,
         "emit_fixed_only": fixed_only,
+        "emit_dtype": emit_dtype,
         "e2e_evals_per_sec": round(e2e, 1),
         "device_evals_per_sec": round(dev["device_evals_per_sec"], 1),
         "e2e_over_device": round(e2e / dev["device_evals_per_sec"], 3),
@@ -86,8 +87,10 @@ def probe(num_ensembles: int, fixed_only: bool):
 def main():
     specs = sys.argv[1:] or ["8192,0", "8192,1", "32768,1", "65536,1"]
     for spec in specs:
-        ens, fx = spec.split(",")
-        probe(int(ens), bool(int(fx)))
+        parts = spec.split(",")
+        ens, fx = parts[0], parts[1]
+        dtype = parts[2] if len(parts) > 2 else "float32"
+        probe(int(ens), bool(int(fx)), dtype)
 
 
 if __name__ == "__main__":
