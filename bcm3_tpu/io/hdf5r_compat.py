@@ -283,6 +283,7 @@ def marginal_likelihood(model: Dict,
         sample_ix = np.arange(nsamp // 2, nsamp)
     mean_ll = llh[:, sample_ix].mean(axis=1)
     temps = model["posterior"]["temperatures"]
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz
     if np.isinf(mean_ll[0]):
-        return float(np.trapz(mean_ll[1:], temps[1:]))
-    return float(np.trapz(mean_ll, temps))
+        return float(trapezoid(mean_ll[1:], temps[1:]))
+    return float(trapezoid(mean_ll, temps))
