@@ -65,11 +65,26 @@ _DEFAULTS = {
     # EmitSample (SamplerPT.cpp:321-330); cuts device->host transfer by
     # the ladder length
     "ptmhsampler.emit_fixed_only": "false",
+    # emission precision for the pulled sample store: "" keeps the
+    # sampler dtype; float16/bfloat16 halve the device->host volume
+    # (measured +4-6% e2e on a tunneled v5e, BASELINE.md emission-dtype
+    # table). The sampled stream is dtype-independent — emission only
+    # rounds the pulled copy.
+    "ptmhsampler.emit_dtype": "",
 }
 
 
 def _parse_bool(v: str) -> bool:
     return str(v).strip().lower() in ("1", "true", "yes", "on")
+
+
+def _parse_dtype(v: str):
+    v = (v or "").strip()
+    if not v:
+        return None
+    import jax.numpy as jnp
+
+    return jnp.dtype(v)
 
 
 def load_options(
@@ -131,6 +146,7 @@ def pt_config_from_options(opts: Dict[str, str]) -> PTConfig:
         num_ensembles=int(g("ptmhsampler.num_ensembles")),
         checkpoint_file=g("ptmhsampler.checkpoint_file") or "",
         emit_fixed_only=_parse_bool(g("ptmhsampler.emit_fixed_only")),
+        emit_dtype=_parse_dtype(g("ptmhsampler.emit_dtype")),
     )
 
 

@@ -86,11 +86,15 @@ class SampleHandlerHDF5:
         """Append a batch: xs (S, C, D), lprior/llh (S, C)."""
         S = xs.shape[0]
         i0, i1 = self.sample_ix, self.sample_ix + S
-        self._g["variable_values"][i0:i1] = xs
-        self._g["log_prior"][i0:i1] = lprior
-        self._g["log_likelihood"][i0:i1] = llh
+        # cast via numpy: the store is float64 and h5py has no internal
+        # conversion path from reduced emission dtypes (ml_dtypes bfloat16)
+        self._g["variable_values"][i0:i1] = np.asarray(xs, np.float64)
+        self._g["log_prior"][i0:i1] = np.asarray(lprior, np.float64)
+        self._g["log_likelihood"][i0:i1] = np.asarray(llh, np.float64)
         self._g["weights"][i0:i1] = (
-            np.ones_like(lprior) if weights is None else weights
+            np.ones_like(lprior, dtype=np.float64)
+            if weights is None
+            else np.asarray(weights, np.float64)
         )
         self.sample_ix = i1
         if (i1 // self.sync_every) != (i0 // self.sync_every):
@@ -124,6 +128,9 @@ class SampleHandlerTSV:
         )
 
     def receive_samples(self, xs, lprior, llh, temperatures, weights=None):
+        xs = np.asarray(xs, np.float64)  # reduced emission dtypes don't
+        lprior = np.asarray(lprior, np.float64)  # support format specs
+        llh = np.asarray(llh, np.float64)
         for s in range(xs.shape[0]):
             row = [f"{lprior[s, -1]:.10g}", f"{llh[s, -1]:.10g}"] + [
                 f"{v:.10g}" for v in xs[s, -1, :]

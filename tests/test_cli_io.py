@@ -119,6 +119,57 @@ folder={tmp_path}/out
     )
 
 
+def test_cli_reduced_precision_emission(tmp_path):
+    """ptmhsampler.emit_dtype=bfloat16 (the host-link bandwidth option,
+    BASELINE.md emission-dtype table) must flow from config.txt through
+    the sampler to an R-loadable float64 output.nc — h5py has no native
+    conversion from ml_dtypes arrays, so the handlers cast."""
+    import jax.numpy as jnp
+
+    from bcm3_tpu import cli
+    from bcm3_tpu.io.config import load_options, pt_config_from_options
+
+    cfg_file = tmp_path / "config.txt"
+    cfg_file.write_text(
+        f"""[sampler]
+num_samples=20
+use_every_nth=2
+rngseed=5
+
+[ptmhsampler]
+num_chains=4
+proposal_type=global_covariance
+adapt_proposal_samples=0
+adapt_proposal_times=0
+emit_dtype=bfloat16
+emit_fixed_only=true
+
+[output]
+folder={tmp_path}/out
+"""
+    )
+    cfg = pt_config_from_options(load_options(str(cfg_file)))
+    assert cfg.emit_dtype == jnp.bfloat16
+    assert cfg.emit_fixed_only is True
+
+    rc = cli.main(
+        [
+            "-c",
+            str(cfg_file),
+            "--prior",
+            os.path.join(REF, "banana", "prior.xml"),
+            "--likelihood",
+            os.path.join(REF, "banana", "likelihood.xml"),
+        ]
+    )
+    assert rc == 0
+    res = load_results(str(tmp_path / "out" / "output.nc"))
+    s = np.asarray(res["samples"])
+    assert s.shape == (20, 1, 2)
+    assert s.dtype == np.float64
+    assert np.isfinite(s).all()
+
+
 def test_data_reference(tmp_path):
     """Generic NetCDF data-value resolver (reference:
     src/sampler/DataReference.cpp — an orphaned utility there, provided
