@@ -99,6 +99,9 @@ class FISAExperiment:
             model_file,
             varset,
             activation_limit=node.get("activation_limit", "minmax"),
+            # reference: fISALikelihood.cpp:31 — default 10 Sobol-started
+            # root solves per feedback component
+            multiroot_solves=int(node.get("multiroot_solves", "10")),
         )
 
         data_file = node.get("data_file")
@@ -258,55 +261,70 @@ class FISAExperiment:
         logp, _ = self.log_prob_and_activities(tv, {})
         return logp
 
+    def _data_logp(self, activities, expression, tv, cell_ix):
+        """Data log-probability of one activity vector for one cell line
+        (reference: fISAExperimentSingleCondition.cpp EvaluateCellLine
+        data loop, :195-409)."""
+        logp = jnp.zeros(())
+        for d in self.data_parts:
+            z = activities[d.model_ix]
+            if d.data_is_inactive_form:
+                me = self.network.max_expression(d.model_ix, expression, tv)
+                z = me - z
+            if d.expression_ix is not None:
+                z = z * expression[d.expression_ix]
+            if d.use_scale and d.scale_ix is not None:
+                z = z * tv[d.scale_ix]
+            if d.use_base:
+                z = z + (
+                    tv[d.base_ix] if d.base_ix is not None else d.fixed_base
+                )
+            sd = (
+                tv[d.sd_ix]
+                if d.sd_ix is not None
+                else jnp.asarray(d.fixed_sd)
+            )
+            if d.scale_var_with_mean:
+                sd = sd * jnp.abs(z)
+            obs = jnp.asarray(d.data)[:, cell_ix]  # (n_replicates,)
+            if d.likelihood_fn == "normal":
+                pw = logpdf_normal(obs, z, sd)
+            elif d.likelihood_fn == "truncated_normal":
+                pw = logpdf_truncated_normal(obs, z, sd, 0.0, 1.0)
+            elif d.likelihood_fn == "truncated_t":
+                zc = jnp.minimum(z, 1.0)
+                pw = logpdf_truncated_t(obs, zc, sd, 3.0, 0.0, 1.0)
+            else:  # studentt (nu=3, reference LogPdfTnu3)
+                pw = logpdf_t(obs, z, sd, 3.0)
+            logp = logp + d.weight * jnp.sum(
+                jnp.where(jnp.isnan(obs), 0.0, pw)
+            )
+        return logp
+
     def log_prob_and_activities(self, tv, stored):
         """Logp plus per-cell-line steady-state activities (P, n_molecules).
 
-        The activities are this experiment's `stored_activities`
-        (reference: fISAExperimentSingleCondition.cpp:424) which
-        later-defined relative experiments read.
+        Every feedback component is root-solved from the network's
+        multiroot Sobol starts; each solve's activities are scored
+        against the data and the best root per cell line is kept —
+        its logp is the cell line's contribution and its activities are
+        this experiment's `stored_activities`
+        (reference: fISAExperimentSingleCondition.cpp:184-230,412-425)
+        which later-defined relative experiments read. The M solves and
+        their scoring are vmapped.
         """
         P = len(self.cell_lines)
 
         def cell_line_logp(cell_ix):
             preset, expression = self._prepare(tv, cell_ix)
-            activities = self.network.calculate(tv, expression, preset)
-            logp = jnp.zeros(())
-            for d in self.data_parts:
-                z = activities[d.model_ix]
-                if d.data_is_inactive_form:
-                    me = self.network.max_expression(
-                        d.model_ix, expression, tv
-                    )
-                    z = me - z
-                if d.expression_ix is not None:
-                    z = z * expression[d.expression_ix]
-                if d.use_scale and d.scale_ix is not None:
-                    z = z * tv[d.scale_ix]
-                if d.use_base:
-                    z = z + (
-                        tv[d.base_ix] if d.base_ix is not None else d.fixed_base
-                    )
-                sd = (
-                    tv[d.sd_ix]
-                    if d.sd_ix is not None
-                    else jnp.asarray(d.fixed_sd)
-                )
-                if d.scale_var_with_mean:
-                    sd = sd * jnp.abs(z)
-                obs = jnp.asarray(d.data)[:, cell_ix]  # (n_replicates,)
-                if d.likelihood_fn == "normal":
-                    pw = logpdf_normal(obs, z, sd)
-                elif d.likelihood_fn == "truncated_normal":
-                    pw = logpdf_truncated_normal(obs, z, sd, 0.0, 1.0)
-                elif d.likelihood_fn == "truncated_t":
-                    zc = jnp.minimum(z, 1.0)
-                    pw = logpdf_truncated_t(obs, zc, sd, 3.0, 0.0, 1.0)
-                else:  # studentt (nu=3, reference LogPdfTnu3)
-                    pw = logpdf_t(obs, z, sd, 3.0)
-                logp = logp + d.weight * jnp.sum(
-                    jnp.where(jnp.isnan(obs), 0.0, pw)
-                )
-            return logp, activities
+            acts_m = self.network.calculate_multiroot(
+                tv, expression, preset
+            )  # (M, n_molecules)
+            logps_m = jax.vmap(
+                lambda a: self._data_logp(a, expression, tv, cell_ix)
+            )(acts_m)
+            best = jnp.argmax(logps_m)
+            return logps_m[best], acts_m[best]
 
         logps, acts = jax.vmap(cell_line_logp)(jnp.arange(P))
         return jnp.sum(logps), acts

@@ -106,7 +106,12 @@ class Molecule:
 
 
 class SignalingNetwork:
-    def __init__(self, molecules: List[Molecule], activation_limit: str):
+    def __init__(
+        self,
+        molecules: List[Molecule],
+        activation_limit: str,
+        multiroot_solves: int = 10,
+    ):
         if activation_limit not in ("minmax", "logistic"):
             raise ValueError(
                 f"Invalid activation limit '{activation_limit}' "
@@ -114,15 +119,55 @@ class SignalingNetwork:
             )
         self.molecules = molecules
         self.activation_limit = activation_limit
+        self.multiroot_solves = int(multiroot_solves)
         self.name_to_ix = {m.name: i for i, m in enumerate(molecules)}
         self.id_to_ix = {m.id: i for i, m in enumerate(molecules)}
         self._order = self._scc_order()
+        self.has_feedback = any(len(c) > 1 for c in self._order)
+        if self.has_feedback and activation_limit != "logistic":
+            # reference: SignalingNetwork.cpp:524-527 — feedback loops can
+            # only be solved with logistic activation limits
+            raise ValueError(
+                "System contains feedback loop, but the activation limit "
+                "is not logistic"
+            )
+        # Quasi-random Newton starting points per feedback component:
+        # the reference solves each feedback system from multiroot_solves
+        # Sobol points in [0,1]^d and the experiment keeps the
+        # best-scoring root (SignalingNetwork.cpp:599-625 seeds one
+        # d-dim boost::sobol per component and consumes one point per
+        # multiroot solve). The sequences are re-seeded on every
+        # Calculate, so the starts are evaluation-independent constants —
+        # precomputed here on the host.
+        self._multiroot_starts: List[Optional[np.ndarray]] = []
+        for comp in self._order:
+            if len(comp) > 1:
+                import warnings
+
+                from scipy.stats import qmc
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    starts = qmc.Sobol(
+                        d=len(comp), scramble=False
+                    ).random(self.multiroot_solves)
+                self._multiroot_starts.append(
+                    np.asarray(starts, dtype=np.float64)
+                )
+            else:
+                self._multiroot_starts.append(None)
 
     # ------------------------------------------------------------------
     # Loading
 
     @classmethod
-    def from_sbml(cls, filename: str, varset, activation_limit="minmax"):
+    def from_sbml(
+        cls,
+        filename: str,
+        varset,
+        activation_limit="minmax",
+        multiroot_solves: int = 10,
+    ):
         root = ET.parse(filename).getroot()
         model = next(c for c in root if _local(c.tag) == "model")
 
@@ -210,7 +255,7 @@ class SignalingNetwork:
             molecules[child].parents.append(parent)
             molecules[child].activating.append(activating)
 
-        net = cls(molecules, activation_limit)
+        net = cls(molecules, activation_limit, multiroot_solves)
         net._resolve_parameters(varset)
         return net
 
@@ -411,17 +456,17 @@ class SignalingNetwork:
             return (em * e + (1.0 - em)) * act
         return e * act
 
-    def calculate(self, values, expression, preset_activities):
-        """Steady-state activities.
+    def _calculate_impl(self, values, expression, preset_activities, starts):
+        """SCC-ordered solve with per-feedback-component Newton starts.
 
-        values: (V,) transformed parameter vector; expression: (n,);
-        preset_activities: (n,) with NaN for molecules to be computed
-        (conditions/drug concentrations are the non-NaN entries;
-        reference: fISAExperiment PrepareActivitiesCalculation).
-        Returns (n,) activities.
+        `starts` is a list aligned with self._order: None for singleton
+        components, a (d,) start vector for feedback components
+        (reference single-vector Calculate uses the fixed 0.5 start,
+        SignalingNetwork.cpp:554-557; the multiroot overload seeds from
+        Sobol points, :609-625).
         """
         activities = preset_activities
-        for comp in self._order:
+        for ci, comp in enumerate(self._order):
             if len(comp) == 1:
                 i = comp[0]
                 m = self.molecules[i]
@@ -435,11 +480,13 @@ class SignalingNetwork:
                     jnp.where(jnp.isnan(activities[i]), new, activities[i])
                 )
             else:
-                # feedback component: damped Newton from 0.5 start
+                # feedback component: damped Newton
                 # (reference: SolveSystem:913-1048 with
-                # MAX_NEWTON_ITERATIONS=20)
+                # MAX_NEWTON_ITERATIONS=20; steps with any |delta|>0.4
+                # are halved to prevent overshoot, :1000-1006)
                 comp_arr = jnp.asarray(comp)
-                activities = activities.at[comp_arr].set(0.5)
+                sub0 = starts[ci]
+                activities = activities.at[comp_arr].set(sub0)
 
                 def residual(sub):
                     acts = activities.at[comp_arr].set(sub)
@@ -453,16 +500,67 @@ class SignalingNetwork:
                     )
                     return sub - out
 
-                sub = jnp.full((len(comp),), 0.5)
+                sub = sub0
                 for _ in range(20):
                     r = residual(sub)
                     J = jax.jacfwd(residual)(sub)
                     delta = jnp.linalg.solve(
                         J + 1e-10 * jnp.eye(len(comp)), r
                     )
+                    delta = jnp.where(
+                        jnp.max(jnp.abs(delta)) > 0.4, 0.5 * delta, delta
+                    )
                     sub = jnp.clip(sub - delta, 0.0, 1.0)
                 activities = activities.at[comp_arr].set(sub)
         return activities
+
+    def calculate(self, values, expression, preset_activities):
+        """Steady-state activities, single solve from the fixed 0.5 start.
+
+        values: (V,) transformed parameter vector; expression: (n,);
+        preset_activities: (n,) with NaN for molecules to be computed
+        (conditions/drug concentrations are the non-NaN entries;
+        reference: fISAExperiment PrepareActivitiesCalculation). This is
+        the reference's single-vector Calculate overload
+        (SignalingNetwork.cpp:541-597), used by the incucyte-sequential
+        experiment. Returns (n,) activities.
+        """
+        starts = [
+            None if len(c) == 1 else jnp.full((len(c),), 0.5)
+            for c in self._order
+        ]
+        return self._calculate_impl(
+            values, expression, preset_activities, starts
+        )
+
+    def calculate_multiroot(self, values, expression, preset_activities):
+        """All multiroot steady-state solves, shape (M, n).
+
+        TPU-native form of the reference's multiroot Calculate overload
+        (SignalingNetwork.cpp:599-697): each feedback component is
+        root-solved from `multiroot_solves` Sobol starting points; the
+        caller (the single-condition experiment) scores every solve's
+        activities against the data and keeps the best root per cell
+        line (fISAExperimentSingleCondition.cpp:184-230,412-425). The M
+        solves are vmapped instead of looped. Without feedback
+        components all solves coincide, so a single (1, n) solve is
+        returned.
+        """
+        if not self.has_feedback:
+            return self.calculate(values, expression, preset_activities)[
+                None, :
+            ]
+
+        def solve_from(mi):
+            starts = [
+                None if s is None else jnp.asarray(s)[mi]
+                for s in self._multiroot_starts
+            ]
+            return self._calculate_impl(
+                values, expression, preset_activities, starts
+            )
+
+        return jax.vmap(solve_from)(jnp.arange(self.multiroot_solves))
 
     def max_expression(self, i, expression, values):
         """reference: max_expression_function:36-40."""

@@ -119,8 +119,8 @@ def test_drug_inhibits_downstream(tmp_path):
     )
 
 
-def test_feedback_component(tmp_path):
-    """A -| B -> A feedback loop must converge via Newton iteration."""
+def _feedback_model(tmp_path, positive=False):
+    """A <-> B feedback loop (negative by default: A -> B -| A)."""
     model = f"""<?xml version="1.0"?>
 <sbml xmlns="{SBML_NS}" level="2" version="4"><model id="net">
 <listOfSpecies>
@@ -129,24 +129,48 @@ def test_feedback_component(tmp_path):
 </listOfSpecies>
 <listOfReactions>
 {_reaction("r1", "s1", "s2")}
-{_reaction("r2", "s2", "s1", positive=False)}
+{_reaction("r2", "s2", "s1", positive=positive)}
 </listOfReactions>
 </model></sbml>"""
     p = tmp_path / "fb.xml"
     p.write_text(model)
+    return str(p)
+
+
+def _logistic_fixed(x):
+    return np.where(x > 3.5, 1.0, 1.0 / (1.0 + np.exp(-9.19024 * (x - 0.5))))
+
+
+def test_feedback_component(tmp_path):
+    """A -> B -| A feedback loop must converge via Newton iteration
+    (logistic activation limit — the only one the reference allows for
+    feedback loops, SignalingNetwork.cpp:524-527)."""
     vs = VariableSet()
     vs.add_variable("base_A")
     vs.add_variable("strength_A_B")
     vs.add_variable("strength_B_A")
-    net = SignalingNetwork.from_sbml(str(p), vs, "minmax")
+    net = SignalingNetwork.from_sbml(
+        _feedback_model(tmp_path), vs, "logistic"
+    )
     tv = jnp.asarray([0.8, 0.9, 0.5])
     act = np.asarray(
         net.calculate(tv, jnp.ones((2,)), jnp.full((2,), jnp.nan))
     )
-    # fixed point: a = clip(0.8 - 0.5 b), b = clip(0.9 a)
+    # fixed point: a = sigma(0.8 - 0.5 b), b = sigma(0.9 a)
     a, b = act
-    np.testing.assert_allclose(a, np.clip(0.8 - 0.5 * b, 0, 1), atol=1e-6)
-    np.testing.assert_allclose(b, np.clip(0.9 * a, 0, 1), atol=1e-6)
+    np.testing.assert_allclose(a, _logistic_fixed(0.8 - 0.5 * b), atol=1e-6)
+    np.testing.assert_allclose(b, _logistic_fixed(0.9 * a), atol=1e-6)
+
+
+def test_feedback_requires_logistic(tmp_path):
+    """Feedback + minmax activation limit is an error in the reference
+    (SignalingNetwork.cpp:524-527)."""
+    vs = VariableSet()
+    vs.add_variable("base_A")
+    vs.add_variable("strength_A_B")
+    vs.add_variable("strength_B_A")
+    with pytest.raises(ValueError, match="logistic"):
+        SignalingNetwork.from_sbml(_feedback_model(tmp_path), vs, "minmax")
 
 
 def test_fisa_likelihood_end_to_end(tmp_path):
@@ -400,3 +424,145 @@ def test_incucyte_observed_and_modeled_data(tmp_path):
     # modeled: recomputed steady-state values
     mod = np.asarray(exp.modeled_data(jnp.asarray(tv), 2))
     np.testing.assert_allclose(mod, expected[:, 1, 0], rtol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# multiroot solves on a bistable feedback network
+# (reference: SignalingNetwork.cpp:599-625 Sobol-seeded multiroot starts;
+#  fISAExperimentSingleCondition.cpp:184-230,412-425 best-root selection)
+# ---------------------------------------------------------------------------
+
+BISTABLE_MODEL = f"""<?xml version="1.0"?>
+<sbml xmlns="{SBML_NS}" level="2" version="4"><model id="net">
+<listOfSpecies>
+{_species("s1", "A", "PROTEIN")}
+{_species("s2", "B", "PROTEIN")}
+</listOfSpecies>
+<listOfReactions>
+{_reaction("r1", "s1", "s2")}
+{_reaction("r2", "s2", "s1")}
+</listOfReactions>
+</model></sbml>
+"""
+
+
+def _bistable_setup(tmp_path):
+    """Mutually activating A <-> B under the fixed-k logistic limit:
+    stable roots near (0.057, 0.057) and (0.982, 0.982), plus the
+    unstable middle root. tv = [base_A, base_B, s_A_B, s_B_A]."""
+    (tmp_path / "bnet.xml").write_text(BISTABLE_MODEL)
+    vs = VariableSet()
+    for name in ("base_A", "base_B", "strength_A_B", "strength_B_A"):
+        vs.add_variable(name)
+    tv = jnp.asarray([0.15, 0.15, 0.8, 0.8])
+    return vs, tv
+
+
+def test_multiroot_finds_both_roots(tmp_path):
+    vs, tv = _bistable_setup(tmp_path)
+    net = SignalingNetwork.from_sbml(
+        str(tmp_path / "bnet.xml"), vs, "logistic"
+    )
+    assert net.has_feedback and net.multiroot_solves == 10
+    preset = jnp.full((2,), jnp.nan)
+    ones = jnp.ones((2,))
+    # single fixed-0.5 start converges deterministically to one root
+    single = np.asarray(net.calculate(tv, ones, preset))
+    # multiroot: 10 Sobol-started solves covering the basins of both
+    # stable roots
+    acts = np.asarray(net.calculate_multiroot(tv, ones, preset))
+    assert acts.shape == (10, 2)
+    lows = acts[acts[:, 0] < 0.2]
+    highs = acts[acts[:, 0] > 0.8]
+    assert len(lows) > 0, f"no low root found: {acts[:, 0]}"
+    assert len(highs) > 0, f"no high root found: {acts[:, 0]}"
+    # each found root satisfies the fixed-point equations
+    for a, b in np.concatenate([lows, highs]):
+        np.testing.assert_allclose(
+            a, _logistic_fixed(0.15 + 0.8 * b), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            b, _logistic_fixed(0.15 + 0.8 * a), atol=1e-4
+        )
+    # the single start lands on exactly one of them; the multiroot set
+    # must contain a root the single start does NOT find
+    others = acts[np.abs(acts[:, 0] - single[0]) > 0.3]
+    assert len(others) > 0
+
+
+def test_multiroot_best_root_scoring(tmp_path):
+    """Data placed at the low root: the fixed-0.5 single-start solver
+    provably lands on the worse (high/middle) root, while the multiroot
+    likelihood recovers the reference's answer — the best-scoring root's
+    logp and activities (fISAExperimentSingleCondition.cpp:412-425)."""
+    import h5py
+
+    vs, tv = _bistable_setup(tmp_path)
+    net = SignalingNetwork.from_sbml(
+        str(tmp_path / "bnet.xml"), vs, "logistic"
+    )
+    preset = jnp.full((2,), jnp.nan)
+    ones = jnp.ones((2,))
+    acts = np.asarray(net.calculate_multiroot(tv, ones, preset))
+    low = acts[np.argmin(acts[:, 0])]
+    assert low[0] < 0.2
+    single = np.asarray(net.calculate(tv, ones, preset))
+    assert single[0] > 0.3, "single start unexpectedly found the low root"
+
+    with h5py.File(tmp_path / "bdata.nc", "w") as f:
+        g = f.create_group("exp1")
+        g.create_dataset("cell_lines", data=np.array(["c1"], dtype="S8"))
+        g.create_dataset("a_data", data=np.array([[low[0]]]))
+    (tmp_path / "blik.xml").write_text(
+        '<bcm_likelihood type="fISA">\n'
+        '<experiment name="exp1" model_file="bnet.xml" data_file="bdata.nc"'
+        ' activation_limit="logistic">\n'
+        '  <data species_name="A" data_name="a_data"\n'
+        '    likelihood_function="normal" use_base="false" use_scale="false"\n'
+        '    scale_var_with_mean="false" sd="0.02"/>\n'
+        "</experiment>\n"
+        "</bcm_likelihood>\n"
+    )
+    lik = create_likelihood(str(tmp_path / "blik.xml"), vs)
+    exp = lik.model.experiments[0]
+
+    lp_best = float(lik.log_prob(tv))
+    # what the single-start solver would have scored (the wrong root)
+    lp_single = float(exp._data_logp(jnp.asarray(single), ones, tv, 0))
+    assert lp_best > lp_single + 100.0, (lp_best, lp_single)
+    # the stored/accessor activities are the best root's
+    stored = np.asarray(exp.modeled_activities(tv))
+    np.testing.assert_allclose(stored[0], low, atol=1e-4)
+    # jit + vmap over chains stays finite and consistent
+    batch = jnp.stack([tv, tv * 0.98])
+    out = np.asarray(jax.jit(jax.vmap(lik.log_prob))(batch))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[0], lp_best, rtol=1e-10)
+
+
+def test_multiroot_solves_attribute(tmp_path):
+    """multiroot_solves XML attribute (reference fISALikelihood.cpp:31)."""
+    import h5py
+
+    vs, tv = _bistable_setup(tmp_path)
+    with h5py.File(tmp_path / "bdata.nc", "w") as f:
+        g = f.create_group("exp1")
+        g.create_dataset("cell_lines", data=np.array(["c1"], dtype="S8"))
+        g.create_dataset("a_data", data=np.array([[0.05]]))
+    (tmp_path / "blik.xml").write_text(
+        '<bcm_likelihood type="fISA">\n'
+        '<experiment name="exp1" model_file="bnet.xml" data_file="bdata.nc"'
+        ' activation_limit="logistic" multiroot_solves="4">\n'
+        '  <data species_name="A" data_name="a_data"\n'
+        '    likelihood_function="normal" use_base="false" use_scale="false"\n'
+        '    scale_var_with_mean="false" sd="0.02"/>\n'
+        "</experiment>\n"
+        "</bcm_likelihood>\n"
+    )
+    lik = create_likelihood(str(tmp_path / "blik.xml"), vs)
+    exp = lik.model.experiments[0]
+    assert exp.network.multiroot_solves == 4
+    acts = exp.network.calculate_multiroot(
+        tv, jnp.ones((2,)), jnp.full((2,), jnp.nan)
+    )
+    assert acts.shape == (4, 2)
