@@ -279,9 +279,38 @@ def simulate_population(
         params_round = jnp.where(
             is_initial[:, None], cell_params[rows], child_params[rows]
         )
-        ys, solve_ok = jax.vmap(integrate_one)(
-            y_start, params_round, const_y, creation
-        )
+
+        # Skip the whole generation's integration at RUNTIME when no new
+        # cells were spawned (lax.cond executes only the taken branch):
+        # once the population hits capacity or stops dividing, the
+        # remaining max_generations rounds cost one predicate each
+        # instead of a full batched solve whose results would be
+        # discarded by the `upd` masks below. The reference's work queue
+        # gets this for free (no new work items, Experiment.cpp:691-779);
+        # this is its fixed-capacity equivalent.
+        def _run_round(ops):
+            y0_, p_, cy_, cr_ = ops
+            ys_, ok_ = jax.vmap(integrate_one)(y0_, p_, cy_, cr_)
+            return ys_, ok_
+
+        def _skip_round(ops):
+            return (
+                jnp.full((N, G, n), jnp.nan, dtype=dtype),
+                jnp.zeros((N,), dtype=bool),
+            )
+
+        if _round == 0:
+            # the first round always integrates the initial cells
+            ys, solve_ok = _run_round(
+                (y_start, params_round, const_y, creation)
+            )
+        else:
+            ys, solve_ok = jax.lax.cond(
+                jnp.any(newly_active),
+                _run_round,
+                _skip_round,
+                (y_start, params_round, const_y, creation),
+            )
         ev_times, div_t, death_t = jax.vmap(detect_events)(ys)
 
         # effective end of each cell's own simulation window: the global

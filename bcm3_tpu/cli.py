@@ -89,6 +89,34 @@ def run(opts) -> int:
         for iteration, record, history in sampler.adaptation_dumps:
             write_adaptation_dump(fn, iteration, record, history)
         log.info("Wrote %s", fn)
+    if getattr(sampler, "clustering_dumps", None):
+        # per-adaptation spectral-clustering diagnostics, group iterN
+        # (reference: SampleHistoryClustering.cpp:40-56 writes
+        # sample_history_clustering.nc for R-side inspection)
+        from bcm3_tpu.io.bundler import HDF5Bundler
+
+        fn = os.path.join(output_path, "sample_history_clustering.nc")
+        if os.path.exists(fn):
+            os.remove(fn)
+        with HDF5Bundler(fn) as bundle:
+            for iteration, dump in sampler.clustering_dumps:
+                grp = f"iter{iteration}"
+                for name in (
+                    "clustering_input_samples",
+                    "K",
+                    "Y",
+                ):
+                    bundle.add_matrix(grp, name, dump[name])
+                bundle.add_vector(
+                    grp,
+                    "clustering_input_sample_scaling",
+                    dump["clustering_input_sample_scaling"],
+                )
+                bundle.add_vector(grp, "assignment", dump["assignment"])
+                bundle.add_vector(
+                    grp, "all_assignment", dump["all_assignment"]
+                )
+        log.info("Wrote %s", fn)
     return 0
 
 

@@ -53,6 +53,11 @@ _DEFAULTS = {
     "ptmhsampler.temperature_schedule_power": "3.0",
     "ptmhsampler.temperature_schedule_max": "1.0",
     "ptmhsampler.output_proposal_adaptation": "false",
+    # dump spectral-clustering intermediates per adaptation to
+    # sample_history_clustering.nc (reference field:
+    # SampleHistoryClustering.h:32 output_sample_clustering — a debug
+    # toggle upstream, exposed here as a proper option)
+    "ptmhsampler.output_sample_clustering": "false",
     "ptmhsampler.proposal_t_dof": "0.0",
     "ptmhsampler.initial_position_tries": "100",
     # TPU-native extension: independent PT replicas batched on device
@@ -82,6 +87,14 @@ def _parse_dtype(v: str):
     v = (v or "").strip()
     if not v:
         return None
+    # emission stores are floating-point sample copies; anything else
+    # (typos, integer dtypes that would silently truncate samples) is a
+    # config error worth naming
+    allowed = ("float64", "float32", "float16", "bfloat16")
+    if v not in allowed:
+        raise ValueError(
+            f"ptmhsampler.emit_dtype must be one of {allowed}, got '{v}'"
+        )
     import jax.numpy as jnp
 
     return jnp.dtype(v)
@@ -140,6 +153,9 @@ def pt_config_from_options(opts: Dict[str, str]) -> PTConfig:
         temperature_schedule_max=float(g("ptmhsampler.temperature_schedule_max")),
         output_proposal_adaptation=_parse_bool(
             g("ptmhsampler.output_proposal_adaptation")
+        ),
+        output_sample_clustering=_parse_bool(
+            g("ptmhsampler.output_sample_clustering")
         ),
         proposal_t_dof=float(g("ptmhsampler.proposal_t_dof")),
         initial_position_tries=int(g("ptmhsampler.initial_position_tries")),

@@ -223,34 +223,57 @@ class Prior:
             return jnp.where(t == code, values, lp)
 
         # Evaluate each family over the full variable axis; masks select.
-        # Parameters of non-member variables are substituted with safe
-        # values so no NaNs leak through the masked branches.
+        # Parameters of NON-member variables are substituted with neutral
+        # values (sd/rate/shape = 1, mu = 0) so every masked branch stays
+        # FINITE for any x in the batch. A mere epsilon floor is not
+        # enough: (x - 0)/tiny overflows to inf in float32, and reverse
+        # mode then computes 0 * inf = NaN through the select — a NaN
+        # gradient with a perfectly finite primal. (This broke NUTS on
+        # TPU f32 while every x64 CPU run was fine; the old 1e-300 floor
+        # additionally underflowed to 0.0 in f32.)
+        tiny = jnp.asarray(jnp.finfo(x.dtype).tiny, x.dtype)
+
+        def member_or(code, arr, neutral):
+            return jnp.where(t == code, jnp.maximum(arr, tiny), neutral)
+
         lp = put(UNIFORM, uv.logpdf_uniform(x, a, jnp.where(b > a, b, a + 1.0)))
-        lp = put(NORMAL, uv.logpdf_normal(x, a, jnp.maximum(b, 1e-300)))
-        lp = put(EXPONENTIAL, uv.logpdf_exponential(x, jnp.maximum(a, 1e-300)))
+        lp = put(
+            NORMAL,
+            uv.logpdf_normal(
+                x, jnp.where(t == NORMAL, a, 0.0), member_or(NORMAL, b, 1.0)
+            ),
+        )
+        lp = put(
+            EXPONENTIAL, uv.logpdf_exponential(x, member_or(EXPONENTIAL, a, 1.0))
+        )
         lp = put(
             GAMMA,
-            uv.logpdf_gamma(x, jnp.maximum(a, 1e-300), jnp.maximum(b, 1e-300)),
+            uv.logpdf_gamma(
+                x, member_or(GAMMA, a, 1.0), member_or(GAMMA, b, 1.0)
+            ),
         )
         lp = put(
-            BETA, uv.logpdf_beta(x, jnp.maximum(a, 1e-300), jnp.maximum(b, 1e-300))
+            BETA,
+            uv.logpdf_beta(x, member_or(BETA, a, 1.0), member_or(BETA, b, 1.0)),
         )
-        lp = put(HALF_CAUCHY, uv.logpdf_half_cauchy(x, jnp.maximum(a, 1e-300)))
+        lp = put(
+            HALF_CAUCHY, uv.logpdf_half_cauchy(x, member_or(HALF_CAUCHY, a, 1.0))
+        )
         lp = put(
             BETA_PRIME,
             uv.logpdf_beta_prime(
                 x,
-                jnp.maximum(a, 1e-300),
-                jnp.maximum(b, 1e-300),
-                jnp.maximum(c, 1e-300),
+                member_or(BETA_PRIME, a, 1.0),
+                member_or(BETA_PRIME, b, 1.0),
+                member_or(BETA_PRIME, c, 1.0),
             ),
         )
         lp = put(
             EXPONENTIAL_MIX,
             uv.logpdf_exponential_mix(
                 x,
-                jnp.maximum(a, 1e-300),
-                jnp.maximum(b, 1e-300),
+                member_or(EXPONENTIAL_MIX, a, 1.0),
+                member_or(EXPONENTIAL_MIX, b, 1.0),
                 jnp.clip(c, 1e-12, 1.0 - 1e-12),
             ),
         )
@@ -266,7 +289,7 @@ class Prior:
             from jax.scipy import special as jsp
 
             logb = jnp.sum(jsp.gammaln(alphas)) - jsp.gammaln(jnp.sum(alphas))
-            xs_safe = jnp.clip(xs, 1e-300, 1.0)
+            xs_safe = jnp.clip(xs, jnp.finfo(x.dtype).tiny, 1.0)
             logd = jnp.sum((alphas - 1.0) * jnp.log(xs_safe), axis=-1) - logb
             total = total + jnp.where(inside & simplex, logd, -jnp.inf)
 
@@ -288,7 +311,8 @@ class Prior:
         out = jnp.zeros(full)
         out = jnp.where(t == UNIFORM, a + u * (b - a), out)
         out = jnp.where(t == NORMAL, a + b * z, out)
-        out = jnp.where(t == EXPONENTIAL, -jnp.log1p(-u) / jnp.maximum(a, 1e-300), out)
+        tiny = jnp.finfo(out.dtype).tiny
+        out = jnp.where(t == EXPONENTIAL, -jnp.log1p(-u) / jnp.maximum(a, tiny), out)
         gamma_shape = jnp.where(t == GAMMA, a, 1.0)
         g = jax.random.gamma(kg, gamma_shape, full)
         out = jnp.where(t == GAMMA, g * b, out)
@@ -302,7 +326,7 @@ class Prior:
         u2 = jax.random.uniform(kb2, full)
         lam = jnp.where(mix_u < c, a, b)
         out = jnp.where(
-            t == EXPONENTIAL_MIX, -jnp.log1p(-u2) / jnp.maximum(lam, 1e-300), out
+            t == EXPONENTIAL_MIX, -jnp.log1p(-u2) / jnp.maximum(lam, tiny), out
         )
 
         for blk in self.dirichlet_blocks:

@@ -468,6 +468,8 @@ class SamplerNUTS:
         )
 
         # ---- sampling ----
+        t_sampling = time.time()  # post-warmup: step_all is compiled,
+        # step size/mass are frozen — the steady-state sampling phase
         out_z, out_logp = [], []
         n_div = 0
         depth_sum = 0
@@ -485,6 +487,7 @@ class SamplerNUTS:
                 out_logp.append(np.asarray(logps))
 
         elapsed = time.time() - t0
+        sampling_seconds = time.time() - t_sampling
         z_arr = np.stack(out_z)  # (S, C, D)
         xs = np.asarray(
             jax.vmap(jax.vmap(self._reparam.to_x))(jnp.asarray(z_arr))
@@ -525,4 +528,8 @@ class SamplerNUTS:
             "mean_tree_depth": depth_sum / max(total_iter * C, 1),
             "step_size": float(eps_final),
             "elapsed_seconds": elapsed,
+            # wall time of the post-warmup sampling loop only (step fn
+            # already compiled, step size/mass frozen) — the number to
+            # divide ESS by for steady-state ESS/sec
+            "sampling_seconds": sampling_seconds,
         }

@@ -124,6 +124,13 @@ class PTConfig:
     temperature_schedule_power: float = 3.0
     temperature_schedule_max: float = 1.0
     output_proposal_adaptation: bool = False
+    # Dump each adaptation's spectral-clustering intermediates (scaled
+    # input samples, kernel K, embedding Y, assignments) for R-side
+    # inspection via sample_history_clustering.nc (reference:
+    # SampleHistoryClustering.h:32 output_sample_clustering,
+    # SampleHistoryClustering.cpp:40-56). Only applies when clustering
+    # runs (clustered_covariance proposal / clustered_autoblock).
+    output_sample_clustering: bool = False
     proposal_t_dof: float = 0.0
     initial_position_tries: int = 100
     dtype: Any = None  # defaults to float64 under x64, else float32
@@ -336,14 +343,22 @@ class SamplerPT:
         use_device_gmm = config.gmm_fit_backend == "device" or (
             config.gmm_fit_backend == "auto" and self.num_variables >= 8
         )
+        self._gmm_fitter_multi = None
         if self._use_mtfa_fit:
             from bcm3_tpu.stats.mfa import fit_proposal_mtfa
 
             self._gmm_fitter = fit_proposal_mtfa
         elif use_device_gmm:
-            from bcm3_tpu.stats.gmm_device import fit_gmm_best_aic_device
+            from bcm3_tpu.stats.gmm_device import (
+                fit_gmm_best_aic_device,
+                fit_gmm_best_aic_device_multi,
+            )
 
             self._gmm_fitter = fit_gmm_best_aic_device
+            # whole-ladder batched fit: all positions' (k, retry) EM fits
+            # in one device program (the adaptation-boundary stall is
+            # dominated by sequential per-position EM launches otherwise)
+            self._gmm_fitter_multi = fit_gmm_best_aic_device_multi
         else:
             self._gmm_fitter = fit_gmm_best_aic
 
@@ -371,6 +386,11 @@ class SamplerPT:
                 )
             )
         self.adaptation_iteration = 1
+        # spectral-clustering dumps for sample_history_clustering.nc:
+        # list of (clustering iteration, {name: array}) — reference:
+        # SampleHistoryClustering.cpp:40-56
+        self.clustering_dumps = []
+        self.clustering_iteration = 0
 
     @property
     def expected_emitted_samples(self) -> int:
@@ -1033,6 +1053,7 @@ class SamplerPT:
         cluster_labels = None
         if needs_clustering and count > 2:
             pooled = ladder_history(C - 1)
+            dump = {} if self.config.output_sample_clustering else None
             self._assigner = spectral_mod.fit_spectral_clustering(
                 pooled,
                 self.config.sample_clustering_nn,
@@ -1040,6 +1061,7 @@ class SamplerPT:
                 self.config.sample_clustering_num_clusters,
                 self.config.adapt_proposal_max_clustering_samples,
                 self._host_rng,
+                dump_sink=dump,
             )
             if self._assigner is None:
                 logger.warning(
@@ -1048,6 +1070,14 @@ class SamplerPT:
                 )
             else:
                 cluster_labels = spectral_mod.assign_host(self._assigner, pooled)
+                if dump is not None:
+                    # assignment of the full (non-downsampled) history
+                    # (reference: all_assignment via
+                    # AssignAllHistorySamples, :213)
+                    dump["all_assignment"] = cluster_labels.astype(np.int32)
+                    self.clustering_dumps.append(
+                        (self.clustering_iteration, dump)
+                    )
                 logger.info(
                     "Spectral clustering: %d clusters over %d samples "
                     "(cluster sizes %s)",
@@ -1057,6 +1087,7 @@ class SamplerPT:
                         cluster_labels, minlength=self._assigner.num_clusters
                     ).tolist(),
                 )
+            self.clustering_iteration += 1
 
         # blocking from the fixed-temperature pooled history
         # (design deviation from the reference, which blocks per chain: a
@@ -1091,7 +1122,31 @@ class SamplerPT:
 
         new_proposals = []
         adaptation_record = []
+        gmm_path = not clustered_active and self.proposal_type not in (
+            "global_covariance",
+            "clustered_covariance",
+        )
         for block in self.blocks:
+            # device backend: fit every ladder position's (k, retry) EM
+            # cube as ONE device program instead of C sequential launches
+            # (the measured adaptation-boundary stall at the bench config
+            # was dominated by these launches). RNG stream is identical
+            # to the sequential path: seeds are drawn in position order.
+            prefit = None
+            if gmm_path and self._gmm_fitter_multi is not None:
+                eligible = [
+                    i
+                    for i in range(C)
+                    if self.ladder[i] != 0.0 and len(ladder_h[i]) >= 2
+                ]
+                if eligible:
+                    fitted = self._gmm_fitter_multi(
+                        [ladder_h[i][:, block] for i in eligible],
+                        self._host_rng,
+                        select_with_adjusted_aic=select_adjusted,
+                        log=logger.debug,
+                    )
+                    prefit = dict(zip(eligible, fitted))
             ladder_gmms = []
             for i in range(C):
                 if self.ladder[i] == 0.0:
@@ -1107,14 +1162,13 @@ class SamplerPT:
                     gmm = self._fit_clustered_covariance(
                         h, ladder_labels[i], block
                     )
-                elif self.proposal_type in (
-                    "global_covariance",
-                    "clustered_covariance",  # clustering failed: single cov
-                ):
+                elif not gmm_path:
                     gmm = self._fit_global_covariance(h, block)
                 else:
                     gmm = None
-                    if len(h) >= 2:
+                    if prefit is not None:
+                        gmm = prefit.get(i)
+                    elif len(h) >= 2:
                         gmm = self._gmm_fitter(
                             h,
                             self._host_rng,
@@ -1245,6 +1299,10 @@ class SamplerPT:
         cfg = self.config
         t_start = time.time()
         self._progress_rows = 0
+        # per-run adaptation-boundary accounting (reset each run; the
+        # reference logs only "Updating proposal..." with no timing)
+        self.adaptation_seconds = 0.0
+        self.adaptation_boundaries = 0
         if self.progress is not None:
             self.progress.start()
 
@@ -1300,6 +1358,11 @@ class SamplerPT:
                 while self.adaptations_done < pending:
                     self._log_statistics(state)
                     logger.info("Updating proposal...")
+                    # boundary wall cost: history pull -> GMM/clustering
+                    # fit -> proposal push-back (+ re-shard). The pull
+                    # blocks on the device queue, so this span is the
+                    # full sampling stall the adaptation causes.
+                    t_adapt = time.time()
                     state, record = self._adapt_proposals(state)
                     adaptation_records.append(record)
                     proposals = tuple(self.proposals)
@@ -1312,6 +1375,8 @@ class SamplerPT:
                             )
                             for p in proposals
                         )
+                    self.adaptation_seconds += time.time() - t_adapt
+                    self.adaptation_boundaries += 1
                     self.adaptations_done += 1
                     if cfg.checkpoint_file:
                         self._save_checkpoint(
@@ -1467,6 +1532,8 @@ class SamplerPT:
             "elapsed_seconds": elapsed,
             "evals_per_second": evals_per_sec,
             "adaptation_records": adaptation_records,
+            "adaptation_seconds": self.adaptation_seconds,
+            "adaptation_boundaries": self.adaptation_boundaries,
             # set in multi-process runs with per-host sharded emission:
             # (first ensemble index, ensemble count) of this process's rows
             "ensemble_shard": getattr(self, "_emit_shard_info", None),

@@ -138,12 +138,20 @@ def fit_spectral_clustering(
     max_samples: int,
     rng: np.random.Generator,
     discard_first: int = 0,
+    dump_sink: Optional[dict] = None,
 ) -> Optional[ClusterAssigner]:
     """Fit the density-aware spectral clustering on a (N, D) history matrix.
 
     Returns a ClusterAssigner (numpy leaves; jax converts on first use) or
     None if the history is degenerate
     (reference: SampleHistoryClustering.cpp Cluster:28-228).
+
+    When ``dump_sink`` is a dict, the fit's intermediates are stored in
+    it under the reference's sample_history_clustering.nc names
+    (SampleHistoryClustering.cpp:119-120,168,193,206): the scaled unique
+    input samples, the per-variable scaling, the kernel matrix K, the
+    spectral embedding Y, and the k-means assignment of the input
+    samples.
     """
     history = np.asarray(history, dtype=np.float64)
     if history.ndim != 2 or len(history) < 1:
@@ -198,6 +206,13 @@ def fit_spectral_clustering(
         # degenerate clustering is not useful, so report failure instead
         return None
     centroids, _assignment = km
+
+    if dump_sink is not None:
+        dump_sink["clustering_input_samples"] = scaled.copy()
+        dump_sink["clustering_input_sample_scaling"] = scaling.copy()
+        dump_sink["K"] = K.copy()
+        dump_sink["Y"] = Y.copy()
+        dump_sink["assignment"] = _assignment.astype(np.int32)
 
     return ClusterAssigner(
         variable_scaling=scaling,

@@ -202,3 +202,74 @@ def test_data_reference(tmp_path):
         data_reference(fn, "grp", "conc", ["patient"], ["p2"])
     with pytest.raises(KeyError):
         data_reference(fn, "grp", "conc", ["patient", "time"], ["p9", "3.0"])
+
+
+def test_cli_sample_history_clustering_dump(tmp_path):
+    """ptmhsampler.output_sample_clustering=true writes the reference's
+    per-adaptation spectral-clustering diagnostic file
+    sample_history_clustering.nc (SampleHistoryClustering.cpp:40-56),
+    loadable through the R-contract bundler loader (R/load.r:137-168)."""
+    from bcm3_tpu import cli
+    from bcm3_tpu.io.hdf5r_compat import load_netcdf_bundler_data
+
+    cfg_file = tmp_path / "config.txt"
+    cfg_file.write_text(
+        f"""[sampler]
+num_samples=60
+use_every_nth=2
+rngseed=77
+
+[ptmhsampler]
+num_chains=4
+proposal_type=clustered_covariance
+adapt_proposal_samples=30
+adapt_proposal_times=1
+sample_clustering_num_clusters=2
+output_sample_clustering=true
+
+[output]
+folder={tmp_path}/out
+"""
+    )
+    rc = cli.main(
+        [
+            "-c",
+            str(cfg_file),
+            "--prior",
+            os.path.join(REF, "banana", "prior.xml"),
+            "--likelihood",
+            os.path.join(REF, "banana", "likelihood.xml"),
+        ]
+    )
+    assert rc == 0
+    fn = tmp_path / "out" / "sample_history_clustering.nc"
+    assert fn.exists()
+    bundle = load_netcdf_bundler_data(str(fn))
+    assert "iter0" in bundle
+    it = bundle["iter0"]
+    for name in (
+        "clustering_input_samples",
+        "clustering_input_sample_scaling",
+        "K",
+        "Y",
+        "assignment",
+        "all_assignment",
+    ):
+        assert name in it, f"missing {name}"
+    # shape consistency (hdf5r loader presents matrices transposed):
+    # n unique samples x D variables; K is n x n; Y is n x k
+    n = it["K"].shape[0]
+    assert it["K"].shape == (n, n)
+    assert set(it["clustering_input_samples"].shape) >= {n} or (
+        n in it["clustering_input_samples"].shape
+    )
+    assert len(it["clustering_input_sample_scaling"]) == 2  # banana D=2
+    assert it["Y"].shape[0] == n or it["Y"].shape[1] == n
+    assert len(it["assignment"]) == n
+    k = int(np.max(it["assignment"])) + 1
+    assert k <= 2
+    # every unique sample's assignment is a valid cluster index
+    assert np.all((it["assignment"] >= 0) & (it["assignment"] < 2))
+    assert np.all((it["all_assignment"] >= 0) & (it["all_assignment"] < 2))
+    # the full-history assignment covers at least the unique samples
+    assert len(it["all_assignment"]) >= n

@@ -204,18 +204,23 @@ def test_emit_dtype_rounds_identical_stream():
         num_ensembles=2,
         seed=5,
     )
-    r32 = SamplerPT(
-        prior, lik, PTConfig(emit_dtype=jnp.float32, **common)
+    # compare against the FULL-precision store cast directly to f16:
+    # the device casts sampler-dtype -> f16 in one convert, so routing
+    # the expectation through an intermediate f32 store would double-
+    # round (f64 -> f32 -> f16) and differ at ~0.5 ulp of f16 for some
+    # seeds
+    r_full = SamplerPT(
+        prior, lik, PTConfig(emit_dtype=None, **common)
     ).run()
     r16 = SamplerPT(
         prior, lik, PTConfig(emit_dtype=jnp.float16, **common)
     ).run()
     assert r16["samples"].dtype == np.float16
     np.testing.assert_array_equal(
-        np.asarray(r32["samples"], np.float32).astype(np.float16),
+        np.asarray(r_full["samples"]).astype(np.float16),
         r16["samples"],
     )
     np.testing.assert_array_equal(
-        np.asarray(r32["log_likelihood"], np.float32).astype(np.float16),
+        np.asarray(r_full["log_likelihood"]).astype(np.float16),
         r16["log_likelihood"],
     )

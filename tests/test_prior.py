@@ -126,3 +126,32 @@ def test_dirichlet_block(tmp_path):
     draws = np.asarray(prior.sample(jax.random.PRNGKey(1), (50_000,)))
     np.testing.assert_allclose(draws.sum(axis=1), 1.0, atol=1e-6)
     np.testing.assert_allclose(draws.mean(axis=0), [2 / 9, 3 / 9, 4 / 9], atol=0.01)
+
+
+def test_prior_gradients_finite_float32():
+    """Reverse-mode gradients of log_pdf must be finite in FLOAT32 at any
+    prior draw: masked non-member family branches must use neutral
+    substituted parameters, because an epsilon floor lets (x-0)/tiny
+    overflow to inf and 0*inf = NaN leaks through the select even with a
+    finite primal (this broke NUTS on TPU f32; x64 hid it)."""
+    import tempfile
+
+    import jax
+
+    from bcm3_tpu.likelihoods.poppk_synth import write_poppk_prior_xml
+
+    d = tempfile.mkdtemp()
+    write_poppk_prior_xml(os.path.join(d, "prior.xml"), 8, "one")
+    vs = VariableSet.from_xml(os.path.join(d, "prior.xml"))
+    prior = Prior.from_xml(os.path.join(d, "prior.xml"), vs)
+    for seed in range(4):
+        # cast draws to f32: weak-typed literals keep the whole log_pdf
+        # computation in f32 even under an x64-enabled test session
+        x0 = prior.sample(jax.random.PRNGKey(seed), (32,)).astype(jnp.float32)
+        lp = jax.vmap(prior.log_pdf)(x0)
+        g = jax.vmap(jax.grad(prior.log_pdf))(x0)
+        assert lp.dtype == jnp.float32
+        assert np.isfinite(np.asarray(lp)).all()
+        assert np.isfinite(np.asarray(g)).all(), (
+            f"NaN/inf prior gradient in float32 (seed {seed})"
+        )

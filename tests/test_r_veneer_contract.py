@@ -27,8 +27,30 @@ VENEER = Path(__file__).resolve().parent.parent / "R" / "bcm3tpu.r"
 
 def _strip_r_comments(text: str) -> str:
     # R has no multi-line comments; drop everything after # on each line.
-    # (No string literals in this file contain '#'.)
+    # Valid only while no string literal contains '#' — enforced by
+    # test_string_literals_safe_for_parser below.
     return "\n".join(line.split("#")[0] for line in text.splitlines())
+
+
+def _r_string_literals(text: str):
+    """Yield every R string literal's contents, comment-aware."""
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "#":  # comment to end of line
+            while i < n and text[i] != "\n":
+                i += 1
+        elif c in ("'", '"'):
+            quote, j = c, i + 1
+            buf = []
+            while j < n and text[j] != quote:
+                if text[j] == "\\":
+                    j += 1
+                buf.append(text[j])
+                j += 1
+            yield "".join(buf)
+            i = j
+        i += 1
 
 
 def _mod_calls(text: str):
@@ -102,6 +124,22 @@ def test_every_reference_accessor_family_is_covered(veneer_calls):
     }
     missing = [r_name for r_name in families.values() if r_name not in defined]
     assert not missing, f"veneer missing reference entry points: {missing}"
+
+
+def test_string_literals_safe_for_parser():
+    """The comment stripper and arity counter above assume no string
+    literal contains '#' (would truncate the line) or ',' / parens
+    (would miscount a call's arity). Enforce that assumption so a
+    future veneer edit cannot silently corrupt the contract check."""
+    unsafe = [
+        s
+        for s in _r_string_literals(VENEER.read_text())
+        if any(ch in s for ch in "#,()")
+    ]
+    assert not unsafe, (
+        "string literal(s) would break the veneer parser; rewrite them "
+        f"or make the parser string-aware: {unsafe}"
+    )
 
 
 def test_trailing_veneer_functions_return_module_results(veneer_calls):

@@ -83,9 +83,30 @@ def main(num_evals: int = 2000):
         ).stdout
     )
 
+    # sampler-engine anchor: reference-style PT-GMM loop on the banana
+    # example (tools/baseline_banana.cpp) — isolates the engine ratio
+    # from the batched-ODE wins
+    exe_bn = "/tmp/baseline_banana"
+    subprocess.run(
+        [
+            "g++", "-O3", "-march=native", "-std=c++17",
+            os.path.join(ROOT, "tools", "baseline_banana.cpp"),
+            "-o", exe_bn, "-pthread",
+        ],
+        check=True,
+    )
+    bn = json.loads(
+        subprocess.run(
+            [exe_bn, "8000", str(n_threads)],
+            check=True, capture_output=True, text=True,
+        ).stdout
+    )
+
     result = {
         "poppk_evals_per_sec": run_model("one"),
         "poppk_transit_evals_per_sec": run_model("one_transit"),
+        "banana_ess_per_sec": bn["banana_ess_per_sec"],
+        "banana_evals_per_sec": bn["evals_per_sec"],
         "cellpop_evals_per_sec": cp["cellpop_evals_per_sec"],
         "cellpop_config": {
             "max_cells": cp["max_cells"],
@@ -98,7 +119,8 @@ def main(num_evals: int = 2000):
         "models: one-compartment + one-compartment-transit; "
         "cellpop: dividing stiff cells (128 max, 16 initial)",
         "method": "C++ DP5 surrogate (see tools/baseline_surrogate.cpp) + "
-        "C++ RODAS3 cellpop surrogate (tools/baseline_cellpop.cpp); "
+        "C++ RODAS3 cellpop surrogate (tools/baseline_cellpop.cpp) + "
+        "C++ PT-GMM engine surrogate on banana (tools/baseline_banana.cpp); "
         "reference itself unbuildable here (Boost absent)",
     }
     with open(os.path.join(ROOT, "baseline_cpu.json"), "w") as f:
