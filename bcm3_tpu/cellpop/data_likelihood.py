@@ -157,24 +157,30 @@ def batched_hungarian(cost_logp, obs_valid, sim_valid):
     """jit-compatible wrapper: one host matching per call; under vmap the
     callback runs sequentially per batch member."""
 
+    # callback result dtype must be representable under the current x64
+    # mode (a hard f64 here breaks TPU/f32 sessions); the matching is
+    # still solved in f64 on the host either way
+    out_dtype = cost_logp.dtype
+
     def cb(c, ov, sv):
-        return np.float64(
+        return np.asarray(
             hungarian_match_logp(
                 np.asarray(c, dtype=np.float64),
                 np.asarray(ov, dtype=bool),
                 np.asarray(sv, dtype=bool),
-            )
+            ),
+            dtype=out_dtype,
         )
 
     out = jax.pure_callback(
         cb,
-        jax.ShapeDtypeStruct((), np.float64),
+        jax.ShapeDtypeStruct((), out_dtype),
         cost_logp,
         obs_valid,
         sim_valid,
         vmap_method="sequential",
     )
-    return out.astype(cost_logp.dtype)
+    return out
 
 
 @dataclass

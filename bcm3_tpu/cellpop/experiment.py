@@ -654,6 +654,64 @@ class Experiment:
 
         return jnp.where(result.ok, logp, -jnp.inf)
 
+    def log_prob_parts(self, tv, nsp=None):
+        """Jittable device half of :meth:`log_prob` for runtimes where
+        host callbacks inside compiled programs are unavailable (the
+        tunneled axon PJRT rejects pure_callback, so the Hungarian
+        matching cannot run in-graph there). Returns
+        ``(partial_logp, ok, costs)`` where ``costs`` is a tuple of
+        (cost, obs_valid, sim_valid) triples, one per Hungarian-matched
+        time-course data likelihood, in data-likelihood order; complete
+        with :meth:`finish_log_prob_host`. Matched weights are exposed
+        as :attr:`matched_weights` (static)."""
+        if nsp is None:
+            nsp = jnp.asarray(self.non_sampled_values)
+        result = self.simulate(tv, nsp)
+        logp = jnp.zeros((), dtype=tv.dtype)
+        costs = []
+        for dl in self.data_likelihoods:
+            if isinstance(dl, dl_mod.DataLikelihoodTimeCourse):
+                _times, sim = self._data_sim_values(result, dl, tv, nsp)
+                costs.append(dl._cost(sim, tv, nsp))
+                continue
+            if isinstance(
+                dl,
+                (dl_mod.DataLikelihoodDuration, dl_mod.DataLikelihoodTimePoints),
+            ):
+                raise NotImplementedError(
+                    "log_prob_parts supports time_course matched scoring; "
+                    "duration/time_points still require in-graph callbacks"
+                )
+            times, sim = self._data_sim_values(result, dl, tv, nsp)
+            pop = self._population_size(result, times)
+            logp = logp + dl.evaluate(sim, pop, tv, nsp)
+        return logp, result.ok, tuple(costs)
+
+    @property
+    def matched_weights(self):
+        """Static weights of the Hungarian-matched data likelihoods, in
+        the order :meth:`log_prob_parts` emits their cost matrices."""
+        return [
+            dl.error.weight
+            for dl in self.data_likelihoods
+            if isinstance(dl, dl_mod.DataLikelihoodTimeCourse)
+        ]
+
+    def finish_log_prob_host(self, partial_logp, ok, costs):
+        """Host half of the two-phase evaluation: solve each matched
+        cost matrix with the native LAP solver and add the weighted
+        matched log-probabilities (numpy in, float out)."""
+        total = float(partial_logp)
+        for (cost, ov, sv), w in zip(costs, self.matched_weights):
+            total += w * dl_mod.hungarian_match_logp(
+                np.asarray(cost, dtype=np.float64),
+                np.asarray(ov, dtype=bool),
+                np.asarray(sv, dtype=bool),
+            )
+        if not bool(ok) or np.isnan(total):
+            return -np.inf
+        return total
+
     # ------------------------------------------------------------------
     # Posterior-predictive accessors (the Python side of the R bridge;
     # reference: src/bcmrbridge/interface_cellpop.cpp:45-418)

@@ -67,6 +67,44 @@ class CellPopulationLikelihood:
             logp = logp + exp.log_prob(tv)
         return jnp.where(jnp.isnan(logp), -jnp.inf, logp)
 
+    # Two-phase evaluation for runtimes without in-graph host callbacks
+    # (tunneled axon PJRT): the device computes everything up to the
+    # Hungarian cost matrices, the host solves the matchings with the
+    # native LAP solver. Semantically identical to log_prob.
+
+    def log_prob_parts(self, values):
+        """Jittable device half; see Experiment.log_prob_parts."""
+        tv = self._transform(values)
+        parts = []
+        for exp in self.experiments:
+            parts.append(exp.log_prob_parts(tv))
+        return tuple(parts)
+
+    def finish_log_prob_host(self, parts) -> float:
+        total = 0.0
+        for exp, (partial, ok, costs) in zip(self.experiments, parts):
+            total += exp.finish_log_prob_host(partial, ok, costs)
+        return total
+
+    def log_prob_batch_hostmatch(self, values_batch) -> np.ndarray:
+        """Batched two-phase evaluation: one jitted vmapped device
+        program for the simulations + cost matrices, then the native
+        LAP solver per batch row on the host."""
+        import jax
+
+        if not hasattr(self, "_parts_fn"):
+            self._parts_fn = jax.jit(jax.vmap(self.log_prob_parts))
+        out = self._parts_fn(jnp.asarray(values_batch))
+        host = jax.tree_util.tree_map(np.asarray, out)
+        B = np.asarray(values_batch).shape[0]
+
+        def row(tree, b):
+            return jax.tree_util.tree_map(lambda a: a[b], tree)
+
+        return np.asarray(
+            [self.finish_log_prob_host(row(host, b)) for b in range(B)]
+        )
+
     def get_experiment(self, name: Optional[str] = None) -> Experiment:
         """Experiment by name (reference:
         CellPopulationLikelihood::GetExperiment); None -> first."""

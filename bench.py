@@ -319,6 +319,10 @@ def bench_nuts():
     C = int(os.environ.get("BENCH_NUTS_CHAINS", "2048"))
     S = int(os.environ.get("BENCH_NUTS_SAMPLES", "256"))
     W = int(os.environ.get("BENCH_NUTS_WARMUP", "256"))
+    # 0.9 target acceptance: the f32 leapfrog through the expm
+    # recurrences carries more energy-error noise than the x64 CPU run,
+    # so aim tighter than Stan's 0.8 default to keep divergences low
+    ta = float(os.environ.get("BENCH_NUTS_TARGET_ACCEPT", "0.9"))
     nuts = SamplerNUTS(
         prior,
         lik,
@@ -327,6 +331,7 @@ def bench_nuts():
             num_warmup=W,
             num_chains=C,
             max_tree_depth=7,
+            target_accept=ta,
             seed=5,
         ),
     )
@@ -353,6 +358,46 @@ def bench_nuts():
         "elapsed_seconds": round(res["elapsed_seconds"], 2),
         "chains": C,
         "samples": S,
+    }
+
+
+def bench_cellpop_matched():
+    """Cellpop throughput with the Hungarian-matched per-cell
+    time-course scoring (the reference's hard scoring path,
+    DataLikelihoodTimeCourse.cpp + native/lap.cpp), via the two-phase
+    device-cost/host-match evaluation (in-graph callbacks are
+    unsupported on the tunneled device)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    import jax
+    import numpy as np
+    from bench_cellpop_scaling import build_likelihood
+
+    cells = int(os.environ.get("BENCH_CELLPOP_CELLS", "128"))
+    num_cells = int(os.environ.get("BENCH_CELLPOP_INITIAL", "16"))
+    batch = int(os.environ.get("BENCH_CELLPOP_BATCH", "512"))
+    lik = build_likelihood(0, cells, num_cells, matched=True)
+    import jax.numpy as jnp
+
+    base = jnp.asarray([0.1, 0.25, 0.15, 0.05])
+    xs = base[None, :] * jnp.exp(
+        0.05 * jax.random.normal(jax.random.PRNGKey(0), (batch, 4), base.dtype)
+    )
+    f = lik.model.log_prob_batch_hostmatch
+    out = f(xs)  # compile + warmup (host matching included)
+    finite = int(np.isfinite(out).sum())
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(xs)
+    dt = (time.time() - t0) / reps
+    return {
+        "evals_per_sec": batch / dt,
+        "ms_per_eval": dt * 1e3 / batch,
+        "finite": finite,
+        "config": {"max_cells": cells, "initial_cells": num_cells,
+                   "batch": batch, "scoring": "hungarian_time_course"},
     }
 
 
@@ -557,6 +602,20 @@ def main():
         flush=True,
     )
     try:
+        cellpop_matched = bench_cellpop_matched()
+    except Exception as e:
+        print(
+            f"# cellpop matched config failed: {e!r}", file=sys.stderr,
+            flush=True,
+        )
+        cellpop_matched = {"evals_per_sec": float("nan"), "config": {}}
+    print(
+        f"# cellpop matched done: {cellpop_matched['evals_per_sec']:.1f} "
+        "evals/s",
+        file=sys.stderr,
+        flush=True,
+    )
+    try:
         banana = bench_banana()
     except Exception as e:
         print(f"# banana config failed: {e!r}", file=sys.stderr, flush=True)
@@ -653,6 +712,10 @@ def main():
             cellpop["evals_per_sec"], "cellpop_evals_per_sec"
         ),
         "cellpop_config": cellpop.get("config"),
+        "cellpop_matched_evals_per_sec": rnd(
+            cellpop_matched["evals_per_sec"], 2
+        ),
+        "cellpop_matched_config": cellpop_matched.get("config"),
         "banana_ess_per_sec": rnd(banana["ess_per_sec"]),
         # vs the C++ CPU PT-GMM surrogate on the same target (isolates
         # the sampler ENGINE ratio from the batched-ODE wins)

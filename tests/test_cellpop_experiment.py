@@ -111,3 +111,48 @@ def test_cellpop_jit_vmap(setup):
     # single eval must agree with batch member
     single = float(lik.log_prob(batch[0]))
     np.testing.assert_allclose(out[0], single, rtol=1e-10)
+
+
+def test_two_phase_hostmatch_equals_log_prob(tmp_path):
+    """The two-phase evaluation (device cost matrices + host LAP
+    matching, for runtimes without in-graph callbacks like the tunneled
+    axon PJRT) must equal the in-graph log_prob on a Hungarian-matched
+    time-course config."""
+    import h5py
+
+    (tmp_path / "cell.xml").write_text(CELL_MODEL)
+    times = np.linspace(0.5, 10.0, 8)
+    rng = np.random.default_rng(5)
+    # 3 observed cell traces with spread around the true growth
+    tc = np.exp(0.1 * times)[None, :] * rng.lognormal(0, 0.1, size=(3, 1))
+    avg = np.exp(0.1 * times)[None, :]
+    with h5py.File(tmp_path / "data.nc", "w") as f:
+        g = f.create_group("exp1")
+        g.create_dataset("time", data=times)
+        g.create_dataset("cell_mass", data=tc)
+        g.create_dataset("avg_mass", data=avg)
+    (tmp_path / "likelihood.xml").write_text(
+        '<bcm_likelihood type="cell_population">\n'
+        '<experiment name="exp1" model_file="cell.xml" data_file="data.nc"\n'
+        '  num_cells="2" max_cells="8" divide_cells="true" entry_time="0"\n'
+        '  solver_type="DP5" solver_relative_tolerance="1e-8"\n'
+        '  solver_absolute_tolerance="1e-10" trailing_simulation_time="0.5">\n'
+        '  <data type="time_course_population_average" data_name="avg_mass"\n'
+        '    species_name="mass" error_model="normal" stdev="sd"/>\n'
+        '  <data type="time_course" data_name="cell_mass"\n'
+        '    species_name="mass" error_model="normal" stdev="sd"/>\n'
+        "</experiment>\n"
+        "</bcm_likelihood>\n"
+    )
+    vs = VariableSet()
+    for name in ("k_growth", "k_div", "sd"):
+        vs.add_variable(name)
+    lik = create_likelihood(str(tmp_path / "likelihood.xml"), vs)
+
+    batch = jnp.asarray(
+        [[0.1, 0.25, 0.05], [0.12, 0.22, 0.08], [0.09, 0.3, 0.04]]
+    )
+    ref = np.asarray(jax.vmap(lik.log_prob)(batch))
+    two = lik.model.log_prob_batch_hostmatch(batch)
+    assert np.isfinite(ref).all()
+    np.testing.assert_allclose(two, ref, rtol=1e-10)
