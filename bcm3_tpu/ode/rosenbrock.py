@@ -135,7 +135,12 @@ def _rosenbrock_step(f, t, y, h, args):
     G = eye / (h * _GAMMA) - J
     import os as _os
 
-    if n <= 16 and _os.environ.get("BCM3_SMALL_LU", "1") != "0":
+    # unrolled-LU size cutoff: above it the generic jax.scipy lu_factor
+    # lowering is used. Raiseable via BCM3_SMALL_LU_MAX (the generic LU
+    # custom call has crashed the tunneled TPU worker on ~20-species
+    # cellpop programs; the unrolled form avoids that code path)
+    small_max = int(_os.environ.get("BCM3_SMALL_LU_MAX", "16"))
+    if n <= small_max and _os.environ.get("BCM3_SMALL_LU", "1") != "0":
         LU, perms = _small_lu(G)
         solve = lambda rhs: _small_solve(LU, perms, rhs)
     else:

@@ -156,3 +156,22 @@ def test_two_phase_hostmatch_equals_log_prob(tmp_path):
     two = lik.model.log_prob_batch_hostmatch(batch)
     assert np.isfinite(ref).all()
     np.testing.assert_allclose(two, ref, rtol=1e-10)
+
+
+def test_cascade_model_generator():
+    """The species-scaling bench's auto-generated stiff cascades build
+    through the real SBML->JAX path and evaluate finitely (the 21-species
+    program also guards the unrolled-LU path, BCM3_SMALL_LU_MAX)."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from bench_cellpop_scaling import build_likelihood, cascade_model
+
+    assert cascade_model(2).count("<species ") == 9  # 5 base + 2*2
+    lik = build_likelihood(2, max_cells=16, num_cells=2, matched=False)
+    x = jnp.asarray([0.1, 0.25, 0.15, 0.05])
+    lp = float(lik.log_prob(x))
+    assert np.isfinite(lp)

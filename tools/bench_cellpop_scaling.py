@@ -31,6 +31,11 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# keep the Rosenbrock step on the unrolled LU for the larger models:
+# the generic jax.scipy lu_factor custom call reproducibly crashed the
+# tunneled TPU worker on the ~20-species programs (kernel fault)
+os.environ.setdefault("BCM3_SMALL_LU_MAX", "48")
+
 SBML_NS = "http://www.sbml.org/sbml/level2/version4"
 MATHML = "http://www.w3.org/1998/Math/MathML"
 
