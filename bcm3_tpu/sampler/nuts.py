@@ -404,19 +404,51 @@ class SamplerNUTS:
         t0 = time.time()
 
         # ---- warmup: dual averaging + windowed diagonal mass ----
+        # All per-iteration statistics (dual-averaging state, Welford
+        # mass accumulators, divergence counter) live ON DEVICE and are
+        # updated by small jitted programs: the host only pulls values
+        # at window boundaries. On tunneled devices a per-iteration
+        # device->host pull costs milliseconds of round-trip, which
+        # otherwise dominates warmup wall time.
         mu = jnp.log(10.0 * cfg.initial_step_size)
         log_eps = jnp.log(jnp.asarray(cfg.initial_step_size))
         log_eps_bar = jnp.zeros(())
         h_bar = jnp.zeros(())
         gamma, t0_da, kappa = 0.05, 10.0, 0.75
+        target_accept = cfg.target_accept
         inv_mass = jnp.ones((D,))
+
+        @jax.jit
+        def da_update(h_bar, log_eps_bar, mu, astat, m):
+            a = jnp.mean(jnp.nan_to_num(astat, nan=0.0))
+            h_bar = (1 - 1 / (m + t0_da)) * h_bar + (target_accept - a) / (
+                m + t0_da
+            )
+            log_eps = mu - jnp.sqrt(m) / gamma * h_bar
+            eta = m ** (-kappa)
+            log_eps_bar = eta * log_eps + (1 - eta) * log_eps_bar
+            return h_bar, log_eps, log_eps_bar
+
+        @jax.jit
+        def welford_update(n, mean, m2, batch):
+            # sequential per-row merge, identical to the host Welford
+            def body(carry, row):
+                n, mean, m2 = carry
+                n1 = n + 1.0
+                d1 = row - mean
+                mean = mean + d1 / n1
+                m2 = m2 + d1 * (row - mean)
+                return (n1, mean, m2), None
+
+            (n, mean, m2), _ = jax.lax.scan(body, (n, mean, m2), batch)
+            return n, mean, m2
 
         windows = self._warmup_windows(cfg.num_warmup)
         win_ix = 0
-        welford_n = 0
-        welford_mean = np.zeros(D)
-        welford_m2 = np.zeros(D)
-        n_div_warm = 0
+        welford_n = jnp.zeros(())
+        welford_mean = jnp.zeros(D)
+        welford_m2 = jnp.zeros(D)
+        n_div_warm = jnp.zeros((), jnp.int32)
 
         for it in range(cfg.num_warmup):
             key, sub = jax.random.split(key)
@@ -424,55 +456,51 @@ class SamplerNUTS:
             zs, logps, grads, astat, div, _depth = step_all(
                 zs, logps, grads, keys, jnp.exp(log_eps), inv_mass
             )
-            n_div_warm += int(jnp.sum(div))
-            a = float(jnp.mean(jnp.nan_to_num(astat, nan=0.0)))
-            m = it + 1
-            h_bar = (1 - 1 / (m + t0_da)) * h_bar + (cfg.target_accept - a) / (
-                m + t0_da
+            n_div_warm = n_div_warm + jnp.sum(div, dtype=jnp.int32)
+            h_bar, log_eps, log_eps_bar = da_update(
+                h_bar, log_eps_bar, mu, astat, float(it + 1)
             )
-            log_eps = mu - jnp.sqrt(m) / gamma * h_bar
-            eta = m ** (-kappa)
-            log_eps_bar = eta * log_eps + (1 - eta) * log_eps_bar
 
             if win_ix < len(windows):
                 lo, hi = windows[win_ix]
                 if lo <= it < hi:
-                    batch = np.asarray(zs)  # (C, D)
-                    for row in batch:
-                        welford_n += 1
-                        d1 = row - welford_mean
-                        welford_mean += d1 / welford_n
-                        welford_m2 += d1 * (row - welford_mean)
+                    welford_n, welford_mean, welford_m2 = welford_update(
+                        welford_n, welford_mean, welford_m2, zs
+                    )
                 if it == hi - 1:
-                    if welford_n > 4:
-                        var = welford_m2 / (welford_n - 1)
+                    wn = float(welford_n)
+                    if wn > 4:
+                        var = np.asarray(welford_m2) / (wn - 1)
                         # Stan's shrinkage toward unit metric
-                        var = (
-                            welford_n / (welford_n + 5.0)
-                        ) * var + 1e-3 * (5.0 / (welford_n + 5.0))
+                        var = (wn / (wn + 5.0)) * var + 1e-3 * (
+                            5.0 / (wn + 5.0)
+                        )
                         inv_mass = jnp.asarray(var)
                     # restart dual averaging around the current step size
                     mu = jnp.log(10.0) + log_eps
                     log_eps_bar = jnp.zeros(())
                     h_bar = jnp.zeros(())
-                    welford_n = 0
-                    welford_mean[:] = 0
-                    welford_m2[:] = 0
+                    welford_n = jnp.zeros(())
+                    welford_mean = jnp.zeros(D)
+                    welford_m2 = jnp.zeros(D)
                     win_ix += 1
 
         eps_final = jnp.exp(log_eps_bar)
         logger.info(
             "NUTS warmup done: step size %.4g, %d divergences",
             float(eps_final),
-            n_div_warm,
+            int(n_div_warm),
         )
 
         # ---- sampling ----
         t_sampling = time.time()  # post-warmup: step_all is compiled,
         # step size/mass are frozen — the steady-state sampling phase
         out_z, out_logp = [], []
-        n_div = 0
-        depth_sum = 0
+        # divergence/depth counters accumulate on device; the host pulls
+        # them once after the loop (per-iteration pulls cost a tunnel
+        # round trip each)
+        n_div_dev = jnp.zeros((), jnp.int32)
+        depth_dev = jnp.zeros((), jnp.int32)
         total_iter = cfg.num_samples * cfg.use_every_nth
         for it in range(total_iter):
             key, sub = jax.random.split(key)
@@ -480,11 +508,13 @@ class SamplerNUTS:
             zs, logps, grads, astat, div, depth = step_all(
                 zs, logps, grads, keys, eps_final, inv_mass
             )
-            n_div += int(jnp.sum(div))
-            depth_sum += int(jnp.sum(depth))
+            n_div_dev = n_div_dev + jnp.sum(div, dtype=jnp.int32)
+            depth_dev = depth_dev + jnp.sum(depth, dtype=jnp.int32)
             if (it + 1) % cfg.use_every_nth == 0:
                 out_z.append(np.asarray(zs))
                 out_logp.append(np.asarray(logps))
+        n_div = int(n_div_dev)
+        depth_sum = int(depth_dev)
 
         elapsed = time.time() - t0
         sampling_seconds = time.time() - t_sampling
