@@ -449,6 +449,15 @@ class SamplerNUTS:
         welford_mean = jnp.zeros(D)
         welford_m2 = jnp.zeros(D)
         n_div_warm = jnp.zeros((), jnp.int32)
+        # dual-averaging iteration counter, WINDOW-LOCAL as in Stan:
+        # each mass-matrix update restarts the averaging (mu, h_bar,
+        # eps_bar AND the counter). With a global counter, a restart
+        # late in a long warmup leaves the gain sqrt(m)/gamma huge and
+        # the per-step increments 1/(m+t0) tiny — an unstable
+        # oscillation whose average eps_bar can come out an order of
+        # magnitude too large (measured: 100% divergences at
+        # num_warmup=256 while 96 warmed up fine).
+        da_m = 0
 
         for it in range(cfg.num_warmup):
             key, sub = jax.random.split(key)
@@ -457,8 +466,9 @@ class SamplerNUTS:
                 zs, logps, grads, keys, jnp.exp(log_eps), inv_mass
             )
             n_div_warm = n_div_warm + jnp.sum(div, dtype=jnp.int32)
+            da_m += 1
             h_bar, log_eps, log_eps_bar = da_update(
-                h_bar, log_eps_bar, mu, astat, float(it + 1)
+                h_bar, log_eps_bar, mu, astat, float(da_m)
             )
 
             if win_ix < len(windows):
@@ -476,10 +486,12 @@ class SamplerNUTS:
                             5.0 / (wn + 5.0)
                         )
                         inv_mass = jnp.asarray(var)
-                    # restart dual averaging around the current step size
+                    # restart dual averaging around the current step
+                    # size (Stan restart: counter, mu, h_bar, eps_bar)
                     mu = jnp.log(10.0) + log_eps
                     log_eps_bar = jnp.zeros(())
                     h_bar = jnp.zeros(())
+                    da_m = 0
                     welford_n = jnp.zeros(())
                     welford_mean = jnp.zeros(D)
                     welford_m2 = jnp.zeros(D)

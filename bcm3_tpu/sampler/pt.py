@@ -1007,12 +1007,13 @@ class SamplerPT:
         count = min(self.history_size, adds // self.history_subsampling)
         return hist[:, :count, :], count
 
-    def _downsample_history(self, h: np.ndarray) -> np.ndarray:
-        """Subsample-then-random-discard (reference: Proposal.cpp:86-129)."""
+    def _downsample_indices(self, n: int) -> np.ndarray:
+        """Row indices of the subsample-then-random-discard downsample
+        (reference: Proposal.cpp:86-129). Consumes the host RNG stream
+        identically whether the rows are gathered on device or host."""
         max_n = self.config.adapt_proposal_max_history_samples
-        n = len(h)
         if n <= max_n:
-            return h
+            return np.arange(n)
         stride = n // max_n
         if stride > 1:
             ix = np.arange(0, (n // stride)) * stride
@@ -1022,7 +1023,34 @@ class SamplerPT:
         while len(ix) > max_n:
             drop = int(self._host_rng.integers(0, len(ix)))
             ix.pop(drop)
-        return h[np.asarray(ix)]
+        return np.asarray(ix)
+
+    def _downsample_history(self, h: np.ndarray) -> np.ndarray:
+        """Subsample-then-random-discard (reference: Proposal.cpp:86-129)."""
+        return h[self._downsample_indices(len(h))]
+
+    def _ladder_downsampled_history(self, state: PTState, count: int):
+        """Per-ladder-position downsampled pooled history, gathered ON
+        DEVICE so only max_history_samples rows per position cross the
+        device->host link. The full history at production configs is
+        gigabytes (chains x history x variables); the fits consume only
+        the downsampled rows, so pulling everything first — as the
+        plain `_history_matrices` path does — made the history transfer
+        the dominant adaptation-boundary cost on tunneled devices
+        (measured 365 s at the 65,536-chain bench config vs ~2 MB of
+        gathered rows). Downsample indices come from the same host-RNG
+        draws as `_downsample_history`, position order, so the sampled
+        stream is identical to the pull-everything path."""
+        C, E = self.ladder_size, self.num_ensembles
+        n = E * count
+        out = []
+        for i in range(C):
+            ix = self._downsample_indices(n)
+            e, t = ix // max(count, 1), ix % max(count, 1)
+            chain_rows = jnp.asarray(i + e * C)
+            rows = state.history[chain_rows, jnp.asarray(t), :]
+            out.append(np.asarray(rows).astype(np.float64))
+        return out
 
     def _adapt_proposals(self, state: PTState):
         """Host-side proposal adaptation (reference:
@@ -1032,9 +1060,29 @@ class SamplerPT:
         (chain, block), pushes back stacked proposal arrays and resets
         the history.
         """
-        hist, count = self._history_matrices(state)
-        logger.info("Proposal adaptation with %d history samples per chain", count)
         C, E = self.ladder_size, self.num_ensembles
+        needs_clustering = (
+            self.proposal_type == "clustered_covariance"
+            or self.config.blocking_strategy == "clustered_autoblock"
+        )
+        # The full history matrix is only required by consumers that read
+        # the POOLED rows (spectral clustering, Turek blocking, the
+        # adaptation dump); the GMM fits read only the downsampled rows,
+        # which are gathered on device instead — the full pull is
+        # gigabytes at production chain counts and dominated the
+        # boundary (see _ladder_downsampled_history).
+        full_pull = (
+            needs_clustering
+            or self.config.blocking_strategy in ("Turek", "clustered_autoblock")
+            or self.config.output_proposal_adaptation
+        )
+        if full_pull:
+            hist, count = self._history_matrices(state)
+        else:
+            hist = None
+            adds = int(_to_host(state.hist_adds))
+            count = min(self.history_size, adds // self.history_subsampling)
+        logger.info("Proposal adaptation with %d history samples per chain", count)
 
         # pool history across ensembles per temperature: every replica of
         # ladder position i targets the same tempered distribution, so the
@@ -1046,10 +1094,6 @@ class SamplerPT:
         # spectral clustering of the pooled fixed-temperature history
         # (reference: per-chain SampleHistoryClustering.cpp Cluster; one
         # shared fit keeps assignment a single batched device kernel)
-        needs_clustering = (
-            self.proposal_type == "clustered_covariance"
-            or self.config.blocking_strategy == "clustered_autoblock"
-        )
         cluster_labels = None
         if needs_clustering and count > 2:
             pooled = ladder_history(C - 1)
@@ -1112,8 +1156,14 @@ class SamplerPT:
             and self._assigner is not None
         )
         # per-ladder-position downsampled full-variable histories (+ their
-        # cluster labels when clustering is active), shared across blocks
-        ladder_h = [self._downsample_history(ladder_history(i)) for i in range(C)]
+        # cluster labels when clustering is active), shared across blocks.
+        # Identical host-RNG stream in both branches (position order).
+        if full_pull:
+            ladder_h = [
+                self._downsample_history(ladder_history(i)) for i in range(C)
+            ]
+        else:
+            ladder_h = self._ladder_downsampled_history(state, count)
         ladder_labels = (
             [spectral_mod.assign_host(self._assigner, h) for h in ladder_h]
             if clustered_active

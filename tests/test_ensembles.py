@@ -224,3 +224,53 @@ def test_emit_dtype_rounds_identical_stream():
         np.asarray(r_full["log_likelihood"]).astype(np.float16),
         r16["log_likelihood"],
     )
+
+
+def test_device_gathered_history_equals_full_pull():
+    """The device-side downsampled history gather (the fix for the
+    multi-GB history pull at adaptation boundaries) must yield exactly
+    the rows the pull-everything + host-downsample path selects, with
+    an identical host-RNG stream."""
+    import copy
+
+    import numpy as np
+
+    from bcm3_tpu.likelihoods import create_likelihood
+    from bcm3_tpu.model.prior import Prior
+    from bcm3_tpu.model.variables import VariableSet
+    from bcm3_tpu.sampler import PTConfig, SamplerPT
+
+    ref = "/root/reference/examples/banana"
+    vs = VariableSet.from_xml(f"{ref}/prior.xml")
+    prior = Prior.from_xml(f"{ref}/prior.xml", vs)
+    lik = create_likelihood(f"{ref}/likelihood.xml", vs)
+    cfg = PTConfig(
+        num_samples=40,
+        use_every_nth=2,
+        num_chains=4,
+        num_ensembles=3,
+        adapt_proposal_samples=0,
+        adapt_proposal_times=0,
+        adapt_proposal_max_history_samples=50,
+        seed=5,
+    )
+    s = SamplerPT(prior, lik, cfg)
+    state = s._init_state()
+    fn = s._make_segment_fn(40, False)
+    state, _, _ = fn(state, tuple(s.proposals))
+
+    rng_state = copy.deepcopy(s._host_rng.bit_generator.state)
+    hist, count = s._history_matrices(state)
+    C, E = s.ladder_size, s.num_ensembles
+    full = [
+        s._downsample_history(
+            hist[i::C].reshape(E * count, s.num_variables)
+        )
+        for i in range(C)
+    ]
+    s._host_rng.bit_generator.state = rng_state
+    gathered = s._ladder_downsampled_history(state, count)
+    for i in range(C):
+        np.testing.assert_array_equal(
+            np.asarray(full[i]), np.asarray(gathered[i])
+        )
