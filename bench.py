@@ -429,6 +429,11 @@ def bench_banana():
         swapping_scheme="deterministic_even_odd",
         seed=7,
         emit_dtype=None,
+        # reference-parity emission (EmitSample forwards only the
+        # fixed-temperature chains, SamplerPT.cpp:321-330); the ESS is
+        # computed on T=1 only, so pulling the heated chains was pure
+        # transfer overhead
+        emit_fixed_only=True,
     )
     s = SamplerPT(prior, lik, cfg)
     s.run()  # compile + adapt warmup
@@ -437,7 +442,7 @@ def bench_banana():
     elapsed = time.time() - t0
     # drop the pre-adaptation half (the reference's stats also discard
     # burn-in via sample_ix)
-    samples = res["samples"].reshape(S, E, 6, -1)[S // 2:]
+    samples = res["samples"].reshape(S, E, 1, -1)[S // 2:]
     from bcm3_tpu.analysis import effective_sample_size_batched
 
     Esub = min(E, 256)
