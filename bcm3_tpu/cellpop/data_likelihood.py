@@ -203,41 +203,46 @@ class DataLikelihoodTimePoints:
     species: List[SpeciesTarget]
     synchronize: str = "none"
 
+    def _cost(self, sim_values, tv, nsp):
+        """Stacked per-timepoint matching inputs: (cost (T, n_obs, N),
+        obs_valid (T, n_obs), sim_valid (T, N)) — the device half shared
+        by the in-graph and two-phase host-match evaluations
+        (reference cost construction:
+        DataLikelihoodTimePoints.cpp Evaluate:200-289)."""
+        T, N, S = sim_values.shape
+        obs = jnp.asarray(self.observed, dtype=sim_values.dtype)  # (T, n_obs, S)
+        sd = jnp.stack([self.error.get_stdev(tv, nsp, l) for l in range(S)])
+        psd = jnp.stack(
+            [self.error.get_proportional_stdev(tv, nsp, l) for l in range(S)]
+        )
+        off = jnp.stack([self.error.get_offset(tv, nsp, l) for l in range(S)])
+        scl = jnp.stack([self.error.get_scale(tv, nsp, l) for l in range(S)])
+        x = sim_values * scl[None, None, :] + off[None, None, :]  # (T, N, S)
+        pair = evaluate_value(
+            self.error.error_model,
+            obs[:, :, None, :],  # (T, n_obs, 1, S)
+            x[:, None, :, :],  # (T, 1, N, S)
+            sd[None, None, None, :],
+            psd[None, None, None, :],
+        )  # (T, n_obs, N, S)
+        pair = jnp.where(jnp.isnan(obs[:, :, None, :]), 0.0, pair)
+        cost = jnp.sum(
+            jnp.where(jnp.isnan(x[:, None, :, :]), -jnp.inf, pair), axis=-1
+        )  # (T, n_obs, N)
+        obs_valid = jnp.any(jnp.isfinite(obs), axis=-1)  # (T, n_obs)
+        sim_valid = ~jnp.isnan(x[:, :, 0])  # (T, N)
+        return cost, obs_valid, sim_valid
+
     def evaluate(self, sim_values, tv, nsp):
         """sim_values: (T, N, n_species) simulated per-cell values (NaN
-        where the cell does not exist at that time)."""
-        T, N, S = sim_values.shape
+        where the cell does not exist at that time). One Hungarian
+        matching per timepoint."""
+        cost, obs_valid, sim_valid = self._cost(sim_values, tv, nsp)
         logp = jnp.zeros((), dtype=sim_values.dtype)
-        obs = jnp.asarray(self.observed, dtype=sim_values.dtype)
-        for ti in range(T):
-            sd = jnp.stack(
-                [self.error.get_stdev(tv, nsp, l) for l in range(S)]
+        for ti in range(cost.shape[0]):
+            logp = logp + batched_hungarian(
+                cost[ti], obs_valid[ti], sim_valid[ti]
             )
-            psd = jnp.stack(
-                [self.error.get_proportional_stdev(tv, nsp, l) for l in range(S)]
-            )
-            off = jnp.stack(
-                [self.error.get_offset(tv, nsp, l) for l in range(S)]
-            )
-            scl = jnp.stack(
-                [self.error.get_scale(tv, nsp, l) for l in range(S)]
-            )
-            x = sim_values[ti] * scl[None, :] + off[None, :]  # (N, S)
-            y = obs[ti]  # (n_obs, S)
-            pair = evaluate_value(
-                self.error.error_model,
-                y[:, None, :],
-                x[None, :, :],
-                sd[None, None, :],
-                psd[None, None, :],
-            )  # (n_obs, N, S)
-            pair = jnp.where(jnp.isnan(y[:, None, :]), 0.0, pair)
-            cost = jnp.sum(
-                jnp.where(jnp.isnan(x[None, :, :]), -jnp.inf, pair), axis=-1
-            )
-            obs_valid = jnp.any(jnp.isfinite(y), axis=-1)
-            sim_valid = ~jnp.isnan(x[:, 0])
-            logp = logp + batched_hungarian(cost, obs_valid, sim_valid)
         return logp * self.error.weight
 
 
@@ -409,7 +414,10 @@ class DataLikelihoodDuration:
             )
         raise ValueError(f"Unknown duration period '{self.period}'")
 
-    def evaluate(self, event_times, active, tv, nsp):
+    def _cost(self, event_times, active, tv, nsp):
+        """(cost (n_obs, N), obs_valid, sim_valid) matching inputs —
+        the device half shared by the in-graph and two-phase host-match
+        evaluations (reference: DataLikelihoodDuration.cpp:64-133)."""
         sim = self.durations_from_events(event_times)  # (N,)
         sim = jnp.where(active, sim, jnp.nan)
         sd = self.error.get_stdev(tv, nsp, 0)
@@ -418,5 +426,9 @@ class DataLikelihoodDuration:
         cost = jnp.where(jnp.isnan(cost), -jnp.inf, cost)
         obs_valid = jnp.isfinite(obs)
         sim_valid = ~jnp.isnan(sim)
+        return cost, obs_valid, sim_valid
+
+    def evaluate(self, event_times, active, tv, nsp):
+        cost, obs_valid, sim_valid = self._cost(event_times, active, tv, nsp)
         logp = batched_hungarian(cost, obs_valid, sim_valid)
         return logp * self.error.weight

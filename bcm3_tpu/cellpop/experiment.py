@@ -257,6 +257,25 @@ class Experiment:
 
         self._rhs = rhs
 
+        # Static-sparsity stage solver for the stiff path: the Jacobian
+        # pattern is fixed by the SBML reaction structure, so the
+        # no-pivot fill-in LU and the Jacobian coloring are compiled
+        # once here (the reference's sparse-LU analogue,
+        # src/utils/EigenPartialPivLUSomewhatSparse.h; dense fallback
+        # when the pattern is near-full or via BCM3_SPARSE_STIFF=0)
+        self.sparse_solver = None
+        if (
+            self.solver_type != "DP5"
+            and os.environ.get("BCM3_SPARSE_STIFF", "1") != "0"
+            and self.model.num_ode_species >= 3
+        ):
+            from bcm3_tpu.ode.sparse_lu import SparseStageSolver
+
+            cand = SparseStageSolver(self.model.jacobian_sparsity())
+            n = self.model.num_ode_species
+            if cand.fill_nnz <= 0.6 * n * n:
+                self.sparse_solver = cand
+
         rounds = 0
         cap = self.initial_cells
         while cap < self.max_cells and self.divide_cells:
@@ -275,6 +294,7 @@ class Experiment:
             solver_trips=self.solver_trips or None,
             simulate_past_chromatid_separation_time=self.past_sep_time,
             max_sobol_index=len(self.sobol_normals) if total_dims else 0,
+            sparse=self.sparse_solver,
         )
 
         # grid: dense enough for event interpolation + data reads
@@ -661,9 +681,11 @@ class Experiment:
         matching cannot run in-graph there). Returns
         ``(partial_logp, ok, costs)`` where ``costs`` is a tuple of
         (cost, obs_valid, sim_valid) triples, one per Hungarian-matched
-        time-course data likelihood, in data-likelihood order; complete
-        with :meth:`finish_log_prob_host`. Matched weights are exposed
-        as :attr:`matched_weights` (static)."""
+        data likelihood (time_course, duration AND time_points — the
+        time_points triple is stacked (T, ...) with one matching per
+        timepoint), in data-likelihood order; complete with
+        :meth:`finish_log_prob_host`. The matched data likelihoods are
+        exposed as :attr:`matched_dls` (static)."""
         if nsp is None:
             nsp = jnp.asarray(self.non_sampled_values)
         result = self.simulate(tv, nsp)
@@ -674,40 +696,61 @@ class Experiment:
                 _times, sim = self._data_sim_values(result, dl, tv, nsp)
                 costs.append(dl._cost(sim, tv, nsp))
                 continue
-            if isinstance(
-                dl,
-                (dl_mod.DataLikelihoodDuration, dl_mod.DataLikelihoodTimePoints),
-            ):
-                raise NotImplementedError(
-                    "log_prob_parts supports time_course matched scoring; "
-                    "duration/time_points still require in-graph callbacks"
+            if isinstance(dl, dl_mod.DataLikelihoodTimePoints):
+                _times, sim = self._data_sim_values(result, dl, tv, nsp)
+                costs.append(dl._cost(sim, tv, nsp))  # stacked (T, ...)
+                continue
+            if isinstance(dl, dl_mod.DataLikelihoodDuration):
+                costs.append(
+                    dl._cost(result.event_times, result.active, tv, nsp)
                 )
+                continue
             times, sim = self._data_sim_values(result, dl, tv, nsp)
             pop = self._population_size(result, times)
             logp = logp + dl.evaluate(sim, pop, tv, nsp)
         return logp, result.ok, tuple(costs)
 
     @property
+    def matched_dls(self):
+        """The Hungarian-matched data likelihoods, in the order
+        :meth:`log_prob_parts` emits their cost matrices."""
+        return [
+            dl
+            for dl in self.data_likelihoods
+            if isinstance(
+                dl,
+                (
+                    dl_mod.DataLikelihoodTimeCourse,
+                    dl_mod.DataLikelihoodTimePoints,
+                    dl_mod.DataLikelihoodDuration,
+                ),
+            )
+        ]
+
+    @property
     def matched_weights(self):
         """Static weights of the Hungarian-matched data likelihoods, in
         the order :meth:`log_prob_parts` emits their cost matrices."""
-        return [
-            dl.error.weight
-            for dl in self.data_likelihoods
-            if isinstance(dl, dl_mod.DataLikelihoodTimeCourse)
-        ]
+        return [dl.error.weight for dl in self.matched_dls]
 
     def finish_log_prob_host(self, partial_logp, ok, costs):
         """Host half of the two-phase evaluation: solve each matched
         cost matrix with the native LAP solver and add the weighted
-        matched log-probabilities (numpy in, float out)."""
+        matched log-probabilities (numpy in, float out). A stacked
+        (T, ...) triple (time_points) is one matching per timepoint."""
         total = float(partial_logp)
-        for (cost, ov, sv), w in zip(costs, self.matched_weights):
-            total += w * dl_mod.hungarian_match_logp(
-                np.asarray(cost, dtype=np.float64),
-                np.asarray(ov, dtype=bool),
-                np.asarray(sv, dtype=bool),
-            )
+        for dl, (cost, ov, sv) in zip(self.matched_dls, costs):
+            c = np.asarray(cost, dtype=np.float64)
+            ovn = np.asarray(ov, dtype=bool)
+            svn = np.asarray(sv, dtype=bool)
+            if c.ndim == 3:
+                s = sum(
+                    dl_mod.hungarian_match_logp(c[t], ovn[t], svn[t])
+                    for t in range(c.shape[0])
+                )
+            else:
+                s = dl_mod.hungarian_match_logp(c, ovn, svn)
+            total += dl.error.weight * s
         if not bool(ok) or np.isnan(total):
             return -np.inf
         return total

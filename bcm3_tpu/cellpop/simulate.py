@@ -98,6 +98,11 @@ class PopulationConfig:
     solver_trips: int | None = None
     simulate_past_chromatid_separation_time: float = 0.0
     max_sobol_index: int = 0  # 0 = no variability iterator
+    # precompiled SparseStageSolver for the model's static Jacobian
+    # pattern (ode/sparse_lu.py) — replaces the dense stage LU in the
+    # stiff solver (the reference's sparse linear-algebra path,
+    # src/utils/EigenPartialPivLUSomewhatSparse.h); None = dense
+    sparse: object = None
 
     @classmethod
     def from_model(cls, model, **kwargs) -> "PopulationConfig":
@@ -214,8 +219,10 @@ def simulate_population(
                     rhs, y0, grid, args=(params, cy, creation),
                     rtol=cfg.rtol, atol=cfg.atol,
                     total_trips=cfg.solver_trips,
+                    sparse=cfg.sparse,
                 )
             return res.ys, res.ok
+        extra = {} if cfg.solver == "DP5" else {"sparse": cfg.sparse}
         res = solve(
             rhs,
             y0,
@@ -224,6 +231,7 @@ def simulate_population(
             rtol=cfg.rtol,
             atol=cfg.atol,
             max_steps_per_segment=cfg.max_steps,
+            **extra,
         )
         return res.ys, res.ok
 

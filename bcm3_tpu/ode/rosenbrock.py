@@ -124,35 +124,55 @@ def _small_solve(LU, perms, b):
     return y
 
 
-def _rosenbrock_step(f, t, y, h, args):
-    """One RODAS3 step. Returns (y_new, err_vec)."""
+def _rosenbrock_step(f, t, y, h, args, sparse=None):
+    """One RODAS3 step. Returns (y_new, err_vec).
+
+    ``sparse`` is an optional precompiled
+    :class:`bcm3_tpu.ode.sparse_lu.SparseStageSolver` for the RHS's
+    static Jacobian pattern: the stage matrix is then factored/solved
+    over only the structurally nonzero entries (colored-JVP Jacobian,
+    no-pivot fill-in LU) — the TPU equivalent of the reference's
+    sparsity-exploiting linear algebra
+    (src/utils/EigenPartialPivLUSomewhatSparse.h:1-108,
+    src/odecommon/LinearAlgebraSelector.h CVODE_USE_SPARSE_SOLVER)."""
     n = y.shape[0]
-    eye = jnp.eye(n, dtype=y.dtype)
-    J = jax.jacfwd(lambda yy: f(t, yy, args))(y)
     # time derivative of f for non-autonomous systems
     ft = jax.jacfwd(lambda tt: f(tt, y, args))(t)
 
-    G = eye / (h * _GAMMA) - J
-    import os as _os
-
-    # unrolled-LU size cutoff: above it the generic jax.scipy lu_factor
-    # lowering is used. Raiseable via BCM3_SMALL_LU_MAX (the generic LU
-    # custom call has crashed the tunneled TPU worker on ~20-species
-    # cellpop programs; the unrolled form avoids that code path)
-    small_max = int(_os.environ.get("BCM3_SMALL_LU_MAX", "16"))
-    if n <= small_max and _os.environ.get("BCM3_SMALL_LU", "1") != "0":
-        LU, perms = _small_lu(G)
-        solve = lambda rhs: _small_solve(LU, perms, rhs)
+    if sparse is not None:
+        inv_hg = 1.0 / (h * _GAMMA)
+        f0, jac = sparse.jac_entries(lambda yy: f(t, yy, args), y)
+        A = sparse.factor_G(jac, inv_hg)
+        solve = lambda rhs: sparse.solve(A, rhs)
     else:
-        lu = lu_factor(G)
-        solve = lambda rhs: lu_solve(lu, rhs)
+        eye = jnp.eye(n, dtype=y.dtype)
+        J = jax.jacfwd(lambda yy: f(t, yy, args))(y)
+        G = eye / (h * _GAMMA) - J
+        import os as _os
+
+        # unrolled-LU size cutoff: above it the generic jax.scipy
+        # lu_factor lowering is used. Raiseable via BCM3_SMALL_LU_MAX
+        # (the generic LU custom call has crashed the tunneled TPU worker
+        # on ~20-species cellpop programs; the unrolled form avoids that
+        # code path)
+        small_max = int(_os.environ.get("BCM3_SMALL_LU_MAX", "16"))
+        if n <= small_max and _os.environ.get("BCM3_SMALL_LU", "1") != "0":
+            LU, perms = _small_lu(G)
+            solve = lambda rhs: _small_solve(LU, perms, rhs)
+        else:
+            lu = lu_factor(G)
+            solve = lambda rhs: lu_solve(lu, rhs)
+        f0 = None
 
     ks = []
     for i in range(4):
         yi = y
         for j in range(i):
             yi = yi + _A[i, j] * ks[j]
-        fi = f(t + _ALPHA[i] * h, yi, args)
+        if i == 0 and f0 is not None:
+            fi = f0  # stage 0 evaluates f at (t, y) = the linearization point
+        else:
+            fi = f(t + _ALPHA[i] * h, yi, args)
         rhs = fi + _GAMMA_I[i] * h * ft
         for j in range(i):
             rhs = rhs + (_C[i, j] / h) * ks[j]
@@ -170,7 +190,8 @@ def _rosenbrock_step(f, t, y, h, args):
     return y_new, err
 
 
-def _integrate_segment(f, t0, t1, y0, dt0, args, rtol, atol, max_steps):
+def _integrate_segment(f, t0, t1, y0, dt0, args, rtol, atol, max_steps,
+                       sparse=None):
     def cond(carry):
         t, y, dt, steps, ok = carry
         return (t < t1) & ok & (steps < max_steps)
@@ -178,7 +199,7 @@ def _integrate_segment(f, t0, t1, y0, dt0, args, rtol, atol, max_steps):
     def body(carry):
         t, y, dt, steps, ok = carry
         dt_clip = jnp.minimum(dt, t1 - t)
-        y_new, err = _rosenbrock_step(f, t, y, dt_clip, args)
+        y_new, err = _rosenbrock_step(f, t, y, dt_clip, args, sparse)
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
         err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
         err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)
@@ -203,7 +224,8 @@ def _integrate_segment(f, t0, t1, y0, dt0, args, rtol, atol, max_steps):
     return y, dt, steps, ok
 
 
-def _integrate_segment_fori(f, t0, t1, y0, dt0, args, rtol, atol, trips):
+def _integrate_segment_fori(f, t0, t1, y0, dt0, args, rtol, atol, trips,
+                            sparse=None):
     """Fixed-trip-count variant of `_integrate_segment` (see the DP5
     twin, ode/dp5.py:_integrate_segment_fori, for the rationale): same
     adaptive controller, static `lax.fori_loop` trip count, finished
@@ -216,7 +238,7 @@ def _integrate_segment_fori(f, t0, t1, y0, dt0, args, rtol, atol, trips):
         t, y, dt, steps, ok = carry
         active = (t < t1) & ok
         dt_clip = jnp.minimum(dt, t1 - t)
-        y_new, err = _rosenbrock_step(f, t, y, dt_clip, args)
+        y_new, err = _rosenbrock_step(f, t, y, dt_clip, args, sparse)
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
         err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
         err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)
@@ -256,6 +278,7 @@ def solve_at_times_stiff(
     max_steps_per_segment: int = 5000,
     first_dt: float = 1e-4,
     fixed_trips: Optional[int] = None,
+    sparse=None,
 ) -> StiffResult:
     """Stiff counterpart of bcm3_tpu.ode.dp5.solve_at_times: integrate
     across a sorted grid of stop times, applying ``event_fn(i, t, y,
@@ -274,11 +297,13 @@ def solve_at_times_stiff(
         seg_len = t_next - t
         if fixed_trips is not None:
             y_new, dt_new, steps, seg_ok = _integrate_segment_fori(
-                f, t, t_next, y, dt, args, rtol, atol, fixed_trips
+                f, t, t_next, y, dt, args, rtol, atol, fixed_trips,
+                sparse=sparse,
             )
         else:
             y_new, dt_new, steps, seg_ok = _integrate_segment(
-                f, t, t_next, y, dt, args, rtol, atol, max_steps_per_segment
+                f, t, t_next, y, dt, args, rtol, atol, max_steps_per_segment,
+                sparse=sparse,
             )
         y_new = jnp.where(seg_len > 0, y_new, y)
         seg_ok = jnp.where(seg_len > 0, seg_ok, True)
@@ -312,6 +337,7 @@ def solve_at_times_stiff_budget(
     atol: float = 1e-9,
     total_trips: int = 1024,
     first_dt: float = 1e-4,
+    sparse=None,
 ) -> StiffResult:
     """Whole-trajectory step-budget form of `solve_at_times_stiff`.
 
@@ -344,7 +370,7 @@ def solve_at_times_stiff_budget(
         # zero-length remainder: use a tiny step so G = I/(h*gamma) - J
         # stays finite; the step is then trivially accepted below
         dt_step = jnp.maximum(jnp.minimum(dt, remaining), 1e-30)
-        y_new, err = _rosenbrock_step(f, t, y, dt_step, args)
+        y_new, err = _rosenbrock_step(f, t, y, dt_step, args, sparse)
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
         err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
         err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)

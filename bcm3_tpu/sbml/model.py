@@ -208,6 +208,53 @@ class SBMLModel:
 
         return rhs
 
+    def jacobian_sparsity(self) -> np.ndarray:
+        """Structural Jacobian pattern (n_ode, n_ode) bool: J[i, j] can
+        be nonzero iff some reaction changing species i has species j in
+        its rate law. Derived from the SBML reaction structure, so it is
+        a guaranteed superset of the numerical pattern for every
+        parameter value — the static-analysis analogue of the sparsity
+        pattern the reference's generated Jacobian encodes per entry
+        (reference: src/sbml/SBMLModel.h:28-30 GenerateJacobianCode).
+        User-defined function bodies are walked conservatively (all
+        species names in the body count, including arg-shadowed ones)."""
+        n = len(self.ode_species)
+        P = np.zeros((n, n), dtype=bool)
+
+        def species_deps(ast, out, seen_fns):
+            kind = ast[0]
+            if kind == "const":
+                return
+            if kind == "name":
+                if ast[1] in self.species_index:
+                    out.add(self.species_index[ast[1]])
+                return
+            if kind == "call":
+                for a in ast[2]:
+                    species_deps(a, out, seen_fns)
+                fdef = self.doc.functions.get(ast[1])
+                if fdef is not None and ast[1] not in seen_fns:
+                    species_deps(fdef.body, out, seen_fns | {ast[1]})
+                return
+            for a in ast[1]:
+                species_deps(a, out, seen_fns)
+
+        for rid in self.doc.reaction_order:
+            r = self.doc.reactions[rid]
+            if r.rate_ast is None:
+                continue
+            deps: set = set()
+            species_deps(r.rate_ast, deps, frozenset())
+            rows = {
+                self.species_index[sid]
+                for sid, _ in list(r.products) + list(r.reactants)
+                if sid in self.species_index
+            }
+            for i in rows:
+                for j in deps:
+                    P[i, j] = True
+        return P
+
     def make_jacobian(self, rhs: Callable) -> Callable:
         """d(dy/dt)/dy via forward-mode autodiff — replaces the
         reference's symbolic per-entry Jacobian codegen
