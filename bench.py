@@ -401,10 +401,99 @@ def bench_cellpop_matched():
     }
 
 
-def bench_banana():
-    """ESS/sec on the banana example at the reference's own config shape
-    (examples/banana/config.txt: 6 chains, GMM proposal, thin 5, one
-    adaptation) — sampling QUALITY per second on an analytic target."""
+def _bench_batched_loglik(lik, vals, batch, jitter=0.03, seed=0, reps=3):
+    """Steady-state evals/sec of a vmapped log_prob at a given batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    xs = jnp.asarray(
+        vals[None, :] + jitter * rng.normal(size=(batch, len(vals)))
+    )
+    f = jax.jit(jax.vmap(lik.log_prob))
+    out = np.asarray(f(xs))  # compile + warmup (value pull = true sync)
+    finite = int(np.isfinite(out).sum())
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(xs)
+    np.asarray(out)
+    dt = (time.time() - t0) / reps
+    return {
+        "evals_per_sec": batch / dt,
+        "ms_per_eval": dt * 1e3 / batch,
+        "finite": finite,
+        "batch": batch,
+    }
+
+
+def bench_pharmaco():
+    """pharmaco_population throughput: the general-PK likelihood solved
+    by matrix exponentials over dosing intervals with per-patient random
+    effects (reference: src/pharmaco/PharmacoLikelihoodPopulation.cpp:202,
+    PharmacokineticModel.cpp:146)."""
+    import numpy as np
+
+    from bcm3_tpu.likelihoods.pharmaco import (
+        PharmacoLikelihoodPopulation,
+        PharmacoModelConfig,
+    )
+    from bcm3_tpu.likelihoods.poppk_synth import synthesize_trial
+    from bcm3_tpu.model.variables import VariableSet
+
+    P = int(os.environ.get("BENCH_PHARMACO_PATIENTS", "16"))
+    trial, _ = synthesize_trial(num_patients=P, num_timepoints=24, seed=31)
+    vs = VariableSet()
+    for n in ("mean_absorption", "sigma_absorption", "mean_clearance",
+              "mean_volume_of_distribution"):
+        vs.add_variable(n)
+    for j in range(P):
+        vs.add_variable(f"p{j+1}_absorption")
+    vs.add_variable("additive_error_standard_deviation")
+    lik = PharmacoLikelihoodPopulation(
+        vs, trial, "lapatinib", PharmacoModelConfig()
+    )
+    vals = np.zeros(vs.num_variables)
+    vals[vs.index_of("mean_absorption")] = -0.3
+    vals[vs.index_of("sigma_absorption")] = 0.2
+    vals[vs.index_of("mean_clearance")] = np.log10(18.0)
+    vals[vs.index_of("mean_volume_of_distribution")] = np.log10(120.0)
+    for j in range(P):
+        vals[vs.index_of(f"p{j+1}_absorption")] = 0.3 + 0.02 * j
+    vals[vs.index_of("additive_error_standard_deviation")] = 25.0
+    batch = int(os.environ.get("BENCH_PHARMACO_BATCH", "4096"))
+    out = _bench_batched_loglik(lik, vals, batch)
+    out["patients"] = P
+    return out
+
+
+def bench_incucyte():
+    """incucyte_population throughput: the delay-ODE cell-growth /
+    drug-response likelihood (reference:
+    src/likelihoods/LikelihoodIncucytePopulation.cpp via
+    CVODESolverDelay; here the batched adaptive BS3(2) DDE solver,
+    ode/delay.py)."""
+    import numpy as np
+
+    _here = os.path.dirname(os.path.abspath(__file__))
+    import sys as _sys
+
+    if _here not in _sys.path:
+        _sys.path.insert(0, _here)
+    from tests.test_cellmisc import _incucyte_setup
+
+    lik, values = _incucyte_setup()
+    batch = int(os.environ.get("BENCH_INCUCYTE_BATCH", "512"))
+    return _bench_batched_loglik(lik, np.asarray(values), batch,
+                                 jitter=0.002)
+
+
+def _bench_pt_example(example, num_chains, E, S, adapt_times, seed=7):
+    """ESS/sec + per-temperature acceptance rates on one reference
+    example config (analytic target; sampling QUALITY per second).
+    Acceptance rates pool all ensembles per ladder position — the same
+    statistic the reference logs per temperature
+    (SamplerPTChain.cpp:383-389)."""
     import numpy as np
 
     from bcm3_tpu.likelihoods import create_likelihood
@@ -412,26 +501,20 @@ def bench_banana():
     from bcm3_tpu.model.variables import VariableSet
     from bcm3_tpu.sampler import PTConfig, SamplerPT
 
-    ref = "/root/reference/examples/banana"
+    ref = f"/root/reference/examples/{example}"
     varset = VariableSet.from_xml(os.path.join(ref, "prior.xml"))
     prior = Prior.from_xml(os.path.join(ref, "prior.xml"), varset)
     lik = create_likelihood(os.path.join(ref, "likelihood.xml"), varset)
-    # measured ESS/sec optimum on the v5e (sweep 2026-08-21, fixed-only
-    # emission): 12.8k @512 -> 21.0k @2048 -> 29.7k @8192 -> 26.2k
-    # @16384 ensembles; per-chain ESS is flat (~233-245) across the
-    # sweep, so the extra ensembles are pure quality throughput
-    E = int(os.environ.get("BENCH_BANANA_ENSEMBLES", "8192"))
-    S = int(os.environ.get("BENCH_BANANA_SAMPLES", "800"))
     cfg = PTConfig(
         num_samples=S,
         use_every_nth=5,
-        num_chains=6,
+        num_chains=num_chains,
         num_ensembles=E,
-        adapt_proposal_samples=S // 2,
-        adapt_proposal_times=1,
+        adapt_proposal_samples=(S // 2 if adapt_times else 0),
+        adapt_proposal_times=adapt_times,
         max_history_size=2000,
         swapping_scheme="deterministic_even_odd",
-        seed=7,
+        seed=seed,
         emit_dtype=None,
         # reference-parity emission (EmitSample forwards only the
         # fixed-temperature chains, SamplerPT.cpp:321-330); the ESS is
@@ -455,12 +538,105 @@ def bench_banana():
     ess = effective_sample_size_batched(
         np.ascontiguousarray(x.reshape(n, Esub * D), dtype=np.float64)
     ).reshape(Esub, D)
+
+    acc = res.get("acceptance", {})
+    rates = {}
+    if acc:
+        L = num_chains
+        att_m = np.asarray(acc["attempted_mutate"], dtype=np.float64)
+        acc_m = np.asarray(acc["accepted_mutate"], dtype=np.float64)
+        att_e = np.asarray(acc["attempted_exchange"], dtype=np.float64)
+        acc_e = np.asarray(acc["accepted_exchange"], dtype=np.float64)
+        att_m = att_m.reshape(E, L).sum(0)
+        acc_m = acc_m.reshape(E, L).sum(0)
+        att_e = att_e.reshape(E, L).sum(0)
+        acc_e = acc_e.reshape(E, L).sum(0)
+        rates = {
+            "mutate_rate": [
+                round(a / m, 4) if m else None for a, m in zip(acc_m, att_m)
+            ],
+            "exchange_rate": [
+                round(a / m, 4) if m else None for a, m in zip(acc_e, att_e)
+            ],
+            # binomial MC standard error per rate (pooled attempts)
+            "mutate_rate_se": [
+                round(float(np.sqrt(max(p * (1 - p), 1e-12) / m)), 5)
+                if m else None
+                for p, m in zip(acc_m / np.maximum(att_m, 1), att_m)
+            ],
+        }
+
     return {
         "evals_per_sec": res["evaluations"] / elapsed,
         "ess_per_chain_mean": float(ess.mean()),
         "ess_per_sec": float(ess.mean()) * E / elapsed,
         "samples_per_sec_per_chain": S / elapsed,
         "ensembles": E,
+        **rates,
+    }
+
+
+def bench_banana(adapt_times=1):
+    """The banana example at the reference's own config shape
+    (examples/banana/config.txt: 6 chains, GMM proposal, thin 5, one
+    adaptation). adapt_times=0 gives the never-adapted A/B arm."""
+    # measured ESS/sec optimum on the v5e (sweep 2026-08-21, fixed-only
+    # emission): 12.8k @512 -> 21.0k @2048 -> 29.7k @8192 -> 26.2k
+    # @16384 ensembles; per-chain ESS is flat (~233-245) across the
+    # sweep, so the extra ensembles are pure quality throughput
+    E = int(os.environ.get("BENCH_BANANA_ENSEMBLES", "8192"))
+    S = int(os.environ.get("BENCH_BANANA_SAMPLES", "800"))
+    return _bench_pt_example("banana", 6, E, S, adapt_times)
+
+
+def bench_circular(adapt_times=1):
+    """The multimodal circular-ridge example (the reference's own
+    multimodal showcase: 16-chain ladder, deterministic even/odd swaps,
+    examples/multimodal_circular_ridge/config.txt) — the A/B target for
+    'adaptation buys mixing on multimodal posteriors'."""
+    E = int(os.environ.get("BENCH_CIRCULAR_ENSEMBLES", "2048"))
+    S = int(os.environ.get("BENCH_CIRCULAR_SAMPLES", "800"))
+    return _bench_pt_example("multimodal_circular_ridge", 16, E, S,
+                             adapt_times)
+
+
+def bench_cellpop21():
+    """Reference-shaped cellpop: the 21-species stiff kinase-cascade
+    model (real cell-cycle models have tens of species,
+    src/cellpop/Experiment.cpp SBML models) through the sparse-pattern
+    stage solver (ode/sparse_lu.py). The CPU anchor is the same-shape
+    C++ RODAS3 cascade (tools/baseline_cellpop.cpp modules=8)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bench_cellpop_scaling import build_likelihood
+
+    cells = int(os.environ.get("BENCH_CELLPOP_CELLS", "128"))
+    num_cells = int(os.environ.get("BENCH_CELLPOP_INITIAL", "16"))
+    batch = int(os.environ.get("BENCH_CELLPOP21_BATCH", "128"))
+    lik = build_likelihood(8, cells, num_cells, matched=False)
+    base = jnp.asarray([0.1, 0.25, 0.15, 0.05])
+    xs = base[None, :] * jnp.exp(
+        0.05 * jax.random.normal(jax.random.PRNGKey(0), (batch, 4), base.dtype)
+    )
+    f = jax.jit(jax.vmap(lik.log_prob))
+    out = np.asarray(f(xs))
+    finite = int(np.isfinite(out).sum())
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(xs)
+    np.asarray(out)
+    dt = (time.time() - t0) / reps
+    return {
+        "evals_per_sec": batch / dt,
+        "ms_per_eval": dt * 1e3 / batch,
+        "finite": finite,
+        "config": {"species": 21, "max_cells": cells,
+                   "initial_cells": num_cells, "batch": batch},
     }
 
 
@@ -515,6 +691,41 @@ def bench_cellpop():
             "solver": solver,
             "trips": trips,
         },
+    }
+
+
+def _acceptance_parity(banana, base):
+    """Side-by-side per-temperature mutate/exchange acceptance rates:
+    TPU engine vs the C++ engine anchor (baseline_cpu.json
+    banana_acceptance), same ladder/proposal/adaptation cadence.
+    Agreement within a few binomial MC standard errors closes the
+    BASELINE.md swap-rate-parity target
+    (reference: SamplerPTChain.cpp:383-389, SamplerPT.cpp:262-275)."""
+    cpu = base.get("banana_acceptance")
+    tpu_m = banana.get("mutate_rate")
+    tpu_e = banana.get("exchange_rate")
+    if not cpu or not tpu_m:
+        return None
+    cm = cpu.get("mutate_rate", [])
+    ce = cpu.get("exchange_rate", [])
+    dm = [
+        round(abs(a - b), 4)
+        for a, b in zip(tpu_m, cm)
+        if a is not None and b is not None
+    ]
+    de = [
+        round(abs(a - b), 4)
+        for a, b in zip(tpu_e, ce)
+        if a is not None and b is not None
+    ]
+    return {
+        "temperatures": cpu.get("temperatures"),
+        "tpu_mutate_rate": tpu_m,
+        "cpu_mutate_rate": cm,
+        "tpu_exchange_rate": tpu_e,
+        "cpu_exchange_rate": ce,
+        "max_abs_diff_mutate": max(dm) if dm else None,
+        "max_abs_diff_exchange": max(de) if de else None,
     }
 
 
@@ -625,17 +836,79 @@ def main():
         flush=True,
     )
     try:
+        pharmaco = bench_pharmaco()
+    except Exception as e:
+        print(f"# pharmaco config failed: {e!r}", file=sys.stderr, flush=True)
+        pharmaco = {"evals_per_sec": float("nan")}
+    print(
+        f"# pharmaco done: {pharmaco['evals_per_sec']:.0f} evals/s",
+        file=sys.stderr,
+        flush=True,
+    )
+    try:
+        incucyte = bench_incucyte()
+    except Exception as e:
+        print(f"# incucyte config failed: {e!r}", file=sys.stderr, flush=True)
+        incucyte = {"evals_per_sec": float("nan")}
+    print(
+        f"# incucyte done: {incucyte['evals_per_sec']:.0f} evals/s",
+        file=sys.stderr,
+        flush=True,
+    )
+    try:
+        cellpop21 = bench_cellpop21()
+    except Exception as e:
+        print(f"# cellpop21 config failed: {e!r}", file=sys.stderr, flush=True)
+        cellpop21 = {"evals_per_sec": float("nan"), "config": {}}
+    print(
+        f"# cellpop21 done: {cellpop21['evals_per_sec']:.1f} evals/s",
+        file=sys.stderr,
+        flush=True,
+    )
+    _nan_banana = {
+        "evals_per_sec": float("nan"),
+        "ess_per_sec": float("nan"),
+        "ess_per_chain_mean": float("nan"),
+        "samples_per_sec_per_chain": float("nan"),
+    }
+    try:
         banana = bench_banana()
     except Exception as e:
         print(f"# banana config failed: {e!r}", file=sys.stderr, flush=True)
-        banana = {
-            "evals_per_sec": float("nan"),
-            "ess_per_sec": float("nan"),
-            "ess_per_chain_mean": float("nan"),
-            "samples_per_sec_per_chain": float("nan"),
-        }
+        banana = dict(_nan_banana)
     print(
         f"# banana done: {banana['ess_per_sec']:.0f} ESS/s",
+        file=sys.stderr,
+        flush=True,
+    )
+    try:
+        banana_un = bench_banana(adapt_times=0)
+    except Exception as e:
+        print(f"# banana unadapted failed: {e!r}", file=sys.stderr, flush=True)
+        banana_un = dict(_nan_banana)
+    print(
+        f"# banana unadapted done: {banana_un['ess_per_sec']:.0f} ESS/s",
+        file=sys.stderr,
+        flush=True,
+    )
+    try:
+        circular = bench_circular()
+    except Exception as e:
+        print(f"# circular config failed: {e!r}", file=sys.stderr, flush=True)
+        circular = dict(_nan_banana)
+    print(
+        f"# circular done: {circular['ess_per_sec']:.0f} ESS/s",
+        file=sys.stderr,
+        flush=True,
+    )
+    try:
+        circular_un = bench_circular(adapt_times=0)
+    except Exception as e:
+        print(f"# circular unadapted failed: {e!r}", file=sys.stderr,
+              flush=True)
+        circular_un = dict(_nan_banana)
+    print(
+        f"# circular unadapted done: {circular_un['ess_per_sec']:.0f} ESS/s",
         file=sys.stderr,
         flush=True,
     )
@@ -724,7 +997,32 @@ def main():
         "cellpop_matched_evals_per_sec": rnd(
             cellpop_matched["evals_per_sec"], 2
         ),
+        # CPU anchor: the same-shape Hungarian-matched C++ run
+        # (tools/baseline_cellpop.cpp matched=1)
+        "cellpop_matched_vs_baseline": ratio(
+            cellpop_matched["evals_per_sec"], "cellpop_matched_evals_per_sec"
+        ),
         "cellpop_matched_config": cellpop_matched.get("config"),
+        # reference-shaped (21-species) cellpop through the sparse stage
+        # solver, with its same-shape CPU anchor
+        "cellpop21_evals_per_sec": rnd(cellpop21["evals_per_sec"], 2),
+        "cellpop21_vs_baseline": ratio(
+            cellpop21["evals_per_sec"], "cellpop21_evals_per_sec"
+        ),
+        "cellpop21_config": cellpop21.get("config"),
+        # remaining live likelihood families (reference:
+        # src/pharmaco/PharmacoLikelihoodPopulation.cpp,
+        # src/likelihoods/LikelihoodIncucytePopulation.cpp)
+        "pharmaco_evals_per_sec": rnd(pharmaco["evals_per_sec"]),
+        "pharmaco_vs_baseline": ratio(
+            pharmaco["evals_per_sec"], "pharmaco_evals_per_sec"
+        ),
+        "pharmaco_batch": pharmaco.get("batch"),
+        "incucyte_evals_per_sec": rnd(incucyte["evals_per_sec"], 2),
+        "incucyte_vs_baseline": ratio(
+            incucyte["evals_per_sec"], "incucyte_evals_per_sec"
+        ),
+        "incucyte_batch": incucyte.get("batch"),
         "banana_ess_per_sec": rnd(banana["ess_per_sec"]),
         # vs the C++ CPU PT-GMM surrogate on the same target (isolates
         # the sampler ENGINE ratio from the batched-ODE wins)
@@ -736,6 +1034,23 @@ def main():
             banana["samples_per_sec_per_chain"], 2
         ),
         "banana_evals_per_sec": rnd(banana["evals_per_sec"]),
+        # A/B: the flagship adaptation machinery vs the never-adapted
+        # prior-scaled proposal, on the multimodal showcases
+        "banana_ess_per_sec_unadapted": rnd(banana_un["ess_per_sec"]),
+        "banana_ess_per_chain_mean_unadapted": rnd(
+            banana_un["ess_per_chain_mean"], 2
+        ),
+        "circular_ess_per_sec": rnd(circular["ess_per_sec"]),
+        "circular_ess_per_chain_mean": rnd(
+            circular["ess_per_chain_mean"], 2
+        ),
+        "circular_ess_per_sec_unadapted": rnd(circular_un["ess_per_sec"]),
+        "circular_ess_per_chain_mean_unadapted": rnd(
+            circular_un["ess_per_chain_mean"], 2
+        ),
+        # swap/mutate acceptance-rate parity: TPU engine vs the C++
+        # engine on the same config/ladder (SamplerPTChain.cpp:383-389)
+        "banana_acceptance_parity": _acceptance_parity(banana, base),
         "device_kind": device_kind,
         "cpu_baseline_threads": base.get("threads"),
         "config": {

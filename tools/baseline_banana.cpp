@@ -316,6 +316,11 @@ struct Chain {
     std::vector<float> history;
     int hist_pos = 0, hist_n = 0;
     long attempted = 0, accepted = 0;
+    // exchange acceptance, attributed to the pair leader (the lower
+    // ladder index), matching the TPU engine's bookkeeping and the
+    // reference's per-temperature exchange statistics
+    // (SamplerPTChain.cpp:383-389)
+    long att_exc = 0, acc_exc = 0;
 
     void add_history() {
         if (temperature == 0.0) return;
@@ -335,6 +340,9 @@ struct Chain {
 struct LadderResult {
     std::vector<double> emitted;  // S*2 T=1 samples
     long evals = 0;
+    // per-ladder-position acceptance counters (index = ladder position)
+    long att_mut[NCHAINS] = {0}, acc_mut[NCHAINS] = {0};
+    long att_exc[NCHAINS] = {0}, acc_exc[NCHAINS] = {0};
 };
 
 static void run_ladder(int num_samples, unsigned seed, LadderResult* out) {
@@ -387,7 +395,9 @@ static void run_ladder(int num_samples, unsigned seed, LadderResult* out) {
                             ? c1.lprior
                             : c2.temperature * c1.llh + c1.lprior;
             double tp = std::exp((p1 + p2) - (c1.lpp + c2.lpp));
+            c1.att_exc++;
             if (unif(rng) < std::min(1.0, tp)) {
+                c1.acc_exc++;
                 std::swap(c1.x[0], c2.x[0]);
                 std::swap(c1.x[1], c2.x[1]);
                 std::swap(c1.llh, c2.llh);
@@ -507,6 +517,12 @@ static void run_ladder(int num_samples, unsigned seed, LadderResult* out) {
             }
         }
     }
+    for (int ci = 0; ci < NCHAINS; ci++) {
+        out->att_mut[ci] = chains[ci].attempted;
+        out->acc_mut[ci] = chains[ci].accepted;
+        out->att_exc[ci] = chains[ci].att_exc;
+        out->acc_exc[ci] = chains[ci].acc_exc;
+    }
 }
 
 // initial-positive-sequence ESS, identical convention to
@@ -563,11 +579,37 @@ int main(int argc, char** argv) {
         total_ess += ess_mean / D;
         total_evals += r.evals;
     }
+    // per-temperature acceptance rates pooled over ladders — the parity
+    // artifact against the TPU engine's identical bookkeeping
+    // (reference logging: SamplerPTChain.cpp:383-389)
+    double mut_rate[NCHAINS], exc_rate[NCHAINS], temps[NCHAINS];
+    for (int ci = 0; ci < NCHAINS; ci++) {
+        long am = 0, cm = 0, ae = 0, ce = 0;
+        for (auto& r : results) {
+            am += r.att_mut[ci];
+            cm += r.acc_mut[ci];
+            ae += r.att_exc[ci];
+            ce += r.acc_exc[ci];
+        }
+        mut_rate[ci] = am ? (double)cm / am : 0.0;
+        exc_rate[ci] = ae ? (double)ce / ae : 0.0;
+        double frac = (double)ci / (NCHAINS - 1);
+        temps[ci] = frac * frac * frac;
+    }
     printf(
         "{\"banana_ess_per_sec\": %.3f, \"ess_mean_per_ladder\": %.2f, "
         "\"evals_per_sec\": %.1f, \"elapsed_s\": %.2f, \"threads\": %d, "
-        "\"num_samples\": %d}\n",
+        "\"num_samples\": %d, \"temperatures\": [",
         total_ess / elapsed, total_ess / num_threads,
         total_evals / elapsed, elapsed, num_threads, num_samples);
+    for (int ci = 0; ci < NCHAINS; ci++)
+        printf("%s%.6f", ci ? ", " : "", temps[ci]);
+    printf("], \"mutate_rate\": [");
+    for (int ci = 0; ci < NCHAINS; ci++)
+        printf("%s%.4f", ci ? ", " : "", mut_rate[ci]);
+    printf("], \"exchange_rate\": [");
+    for (int ci = 0; ci < NCHAINS; ci++)
+        printf("%s%.4f", ci ? ", " : "", exc_rate[ci]);
+    printf("]}\n");
     return 0;
 }
