@@ -34,7 +34,20 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.linalg import expm
+from jax.scipy.linalg import expm as _scipy_expm
+
+from bcm3_tpu.ode.linear_pk import small_expm
+
+
+def expm(A):
+    # unrolled Pade-6 scaling-squaring for the small PK system matrices:
+    # the generic jax.scipy expm (Pade-13 + linalg.solve custom calls)
+    # measured ~15x slower than a 2-thread CPU on the tunneled v5e;
+    # the unrolled form is straight-line batched vector code
+    # (ode/linear_pk.py small_expm)
+    if A.shape[-1] <= 8:
+        return small_expm(A)
+    return _scipy_expm(A)
 from jax.scipy.special import ndtri
 
 from bcm3_tpu.likelihoods.poppk import (

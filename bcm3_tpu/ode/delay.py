@@ -45,23 +45,37 @@ def solve_dde_grid(
     t0 = grid[0]
     h = grid[1] - grid[0]
 
-    def lookup(hist, filled, t):
-        """Interpolate the history buffer at time t (clamped)."""
-        pos = (t - t0) / h
-        pos = jnp.clip(pos, 0.0, filled.astype(dtype))
-        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, G - 1)
-        i1 = jnp.clip(i0 + 1, 0, G - 1)
-        frac = pos - i0
-        return hist[i0] * (1.0 - frac) + hist[i1] * frac
-
     def step(carry, i):
         hist, ok = carry
         t = t0 + (i - 1) * h
         y = hist[i - 1]
 
+        # Windowed delayed-state lookup: all four RK stage times lie in
+        # [t, t + h], so their delayed times span one grid interval and
+        # at most three consecutive history rows cover every linear
+        # interpolation. ONE dynamic_slice per step replaces eight
+        # per-stage row gathers — under vmap the delay is a per-lane
+        # traced value, and batched row gathers on TPU were measured at
+        # 6.5x the cost of the whole remaining step body.
+        pos_lo = (t - delay - t0) / h
+        filled = (i - 1).astype(dtype)
+        base = jnp.clip(jnp.floor(pos_lo).astype(jnp.int32), 0, G - 3)
+        win = jax.lax.dynamic_slice(
+            hist, (base, jnp.zeros((), base.dtype)), (3, n)
+        )  # (3, n)
+
+        def lookup(tt):
+            pos = (tt - t0) / h
+            pos = jnp.clip(pos, 0.0, filled)
+            rel = jnp.clip(pos - base.astype(dtype), 0.0, 2.0)
+            i0 = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, 1)
+            frac = rel - i0.astype(dtype)
+            a = jnp.where(i0 == 0, win[0], win[1])
+            b = jnp.where(i0 == 0, win[1], win[2])
+            return a * (1.0 - frac) + b * frac
+
         def fd(tt, yy):
-            yd = lookup(hist, (i - 1).astype(dtype), tt - delay)
-            return f(tt, yy, yd, args)
+            return f(tt, yy, lookup(tt - delay), args)
 
         k1 = fd(t, y)
         k2 = fd(t + 0.5 * h, y + 0.5 * h * k1)
@@ -203,4 +217,192 @@ def solve_dde_adaptive(
         (hist0, hist_dy0, jnp.asarray(h, dtype), jnp.asarray(True)),
         jnp.arange(1, G),
     )
+    return DDEResult(ys=hist, ok=ok)
+
+
+def solve_dde_ring(
+    f: Callable,  # f(t, y, y_delayed, args) -> dy/dt
+    y0,
+    grid,  # (G,) uniform, increasing
+    delay,
+    args=None,
+    ring_size: int = 64,
+) -> DDEResult:
+    """Fixed-grid RK4 method of steps with a SLIDING-RING history.
+
+    The fast TPU lowering of `solve_dde_grid`: per-lane delayed lookups
+    into the full (G, n) history buffer lower to batched gathers, which
+    measured ~6x the cost of the entire remaining step body on v5e
+    (lane-uniform indices ran 29.6k evals/s vs 4.6k with per-lane
+    gathers at the same arithmetic). Here the carry holds only the last
+    `ring_size` grid rows, shifted by one each step (static slice +
+    concat — no indexed writes), the trajectory is emitted as a scan
+    OUTPUT (no (G, n) carry at all), and the delayed lookup interpolates
+    the small ring. The ring is prefilled with y0, which reproduces the
+    history clamp before t0 exactly (CVODESolverDelay InterpolateHistory
+    semantics). Delays longer than (ring_size - 2) grid steps clamp to
+    the oldest ring entry — pick `ring_size` from the model's maximum
+    plausible delay (the incucyte apoptosis_duration prior comfortably
+    fits the default at the reference's 256-point grid).
+    """
+    G = grid.shape[0]
+    n = y0.shape[0]
+    dtype = y0.dtype
+    t0 = grid[0]
+    h = grid[1] - grid[0]
+    K = ring_size
+
+    def step(carry, i):
+        ring, ok = carry  # ring[K-1] = y at grid point i-1
+        t = t0 + (i - 1) * h
+        y = ring[K - 1]
+
+        def lookup(tt):
+            # offset (in grid steps) of the delayed time behind the
+            # newest ring row, clamped into the ring
+            off = (i - 1).astype(dtype) - (tt - t0) / h
+            off = jnp.clip(off, 0.0, (i - 1).astype(dtype))
+            off = jnp.minimum(off, K - 1.0)
+            j = (K - 1) - off  # fractional ring position
+            j0 = jnp.clip(jnp.floor(j).astype(jnp.int32), 0, K - 2)
+            frac = j - j0.astype(dtype)
+            a = jax.lax.dynamic_slice(
+                ring, (j0, jnp.zeros((), j0.dtype)), (2, n)
+            )
+            return a[0] * (1.0 - frac) + a[1] * frac
+
+        def fd(tt, yy):
+            return f(tt, yy, lookup(tt - delay), args)
+
+        k1 = fd(t, y)
+        k2 = fd(t + 0.5 * h, y + 0.5 * h * k1)
+        k3 = fd(t + 0.5 * h, y + 0.5 * h * k2)
+        k4 = fd(t + h, y + h * k3)
+        y_new = y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        ok = ok & jnp.all(jnp.isfinite(y_new))
+        y_new = jnp.where(ok, y_new, jnp.nan)
+        ring = jnp.concatenate([ring[1:], y_new[None, :]], axis=0)
+        return (ring, ok), y_new
+
+    ring0 = jnp.broadcast_to(y0[None, :], (K, n)).astype(dtype)
+    (ringF, ok), ys = jax.lax.scan(
+        step, (ring0, jnp.asarray(True)), jnp.arange(1, G)
+    )
+    ys = jnp.concatenate([y0[None, :], ys], axis=0)
+    return DDEResult(ys=ys, ok=ok)
+
+
+def solve_dde_budget(
+    f: Callable,  # f(t, y, y_delayed, args) -> dy/dt
+    y0,
+    grid,  # (G,) uniform, increasing — history/output grid
+    delay: float,
+    args=None,
+    rtol: float = 1e-6,
+    atol: float = 1e-2,
+    total_trips: int = 256,
+    min_dt: float = 0.0,
+) -> DDEResult:
+    """Whole-trajectory step-budget form of `solve_dde_adaptive`.
+
+    The per-interval form runs `(G-1) * trips_per_interval` sequential
+    masked loop bodies regardless of how many adaptive steps the error
+    controller actually needs (~100 for the incucyte dynamics); on TPU
+    the sequential body count is the binding resource (issue latency,
+    plus the history-buffer traffic each body carries). This form is ONE
+    static `lax.fori_loop` of `total_trips` embedded BS3(2) steps with a
+    grid-stop pointer per lane — the DDE twin of
+    `ode/rosenbrock.py solve_at_times_stiff_budget`. Steps are clipped
+    to grid stops so every history node is an accepted solution point;
+    the delayed lookup reads the same cubic-Hermite history as the
+    per-interval form. Lanes needing more than `total_trips` steps fail
+    (NaN -> -inf), the reference's max-steps soft-fail.
+    """
+    G = grid.shape[0]
+    n = y0.shape[0]
+    dtype = y0.dtype
+    t0 = grid[0]
+    h = grid[1] - grid[0]
+
+    def lookup(hist, hist_dy, filled, t):
+        pos = (t - t0) / h
+        pos = jnp.clip(pos, 0.0, filled.astype(dtype))
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, G - 1)
+        i1 = jnp.clip(i0 + 1, 0, G - 1)
+        s = pos - i0
+        y_a, y_b = hist[i0], hist[i1]
+        d_a, d_b = hist_dy[i0] * h, hist_dy[i1] * h
+        h00 = (1 + 2 * s) * (1 - s) ** 2
+        h10 = s * (1 - s) ** 2
+        h01 = s * s * (3 - 2 * s)
+        h11 = s * s * (s - 1)
+        return h00 * y_a + h10 * d_a + h01 * y_b + h11 * d_b
+
+    def body(_k, carry):
+        t, y, dt, seg, hist, hist_dy, ok = carry
+        seg_c = jnp.minimum(seg, G - 1)
+        t_stop = t0 + seg_c.astype(dtype) * h
+        active = (seg < G) & ok
+        remaining = jnp.maximum(t_stop - t, 0.0)
+        clipped = dt >= remaining
+        dts = jnp.maximum(jnp.minimum(dt, remaining), 1e-30)
+
+        def fd(tt, yy):
+            yd = lookup(hist, hist_dy, (seg_c - 1).astype(dtype), tt - delay)
+            return f(tt, yy, yd, args)
+
+        ks = []
+        for s in range(4):
+            yi = y
+            for j, a in enumerate(_BS_A[s]):
+                yi = yi + dts * a * ks[j]
+            ks.append(fd(t + _BS_C[s] * dts, yi))
+        y3 = y
+        err = jnp.zeros_like(y)
+        for s in range(4):
+            y3 = y3 + dts * _BS_B3[s] * ks[s]
+            err = err + dts * (_BS_B3[s] - _BS_B2[s]) * ks[s]
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y3))
+        err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+        err_norm = jnp.where(remaining > 0, err_norm, 0.0)
+        y3 = jnp.where(remaining > 0, y3, y)
+        accept = (err_norm <= 1.0) & active
+        factor = jnp.clip(0.9 * (err_norm + 1e-30) ** (-1 / 3), 0.2, 5.0)
+        new_dt = jnp.where(
+            active, jnp.where(clipped & accept, dt, dts * factor), dt
+        )
+        t_new = jnp.where(accept, jnp.where(clipped, t_stop, t + dts), t)
+        y_new = jnp.where(accept, y3, y)
+        reached = accept & (t_new >= t_stop)
+        # record the grid node + its derivative (history for the lookups)
+        dy_node = fd(t_stop, y_new)
+        hist = jnp.where(
+            reached, hist.at[seg_c].set(y_new), hist
+        )
+        hist_dy = jnp.where(
+            reached, hist_dy.at[seg_c].set(dy_node), hist_dy
+        )
+        seg = seg + reached.astype(jnp.int32)
+        ok = ok & (
+            ~active | (jnp.all(jnp.isfinite(y_new)) & (new_dt > min_dt))
+        )
+        return (t_new, y_new, new_dt, seg, hist, hist_dy, ok)
+
+    hist0 = jnp.zeros((G, n), dtype=dtype).at[0].set(y0)
+    dy0 = f(t0, y0, y0, args)
+    hist_dy0 = jnp.zeros((G, n), dtype=dtype).at[0].set(dy0)
+    init = (
+        t0,
+        y0,
+        jnp.asarray(h, dtype),
+        jnp.int32(1),
+        hist0,
+        hist_dy0,
+        jnp.asarray(True),
+    )
+    t, y, dt, seg, hist, hist_dy, ok = jax.lax.fori_loop(
+        0, total_trips, body, init
+    )
+    ok = ok & (seg >= G)
+    hist = jnp.where(ok, hist, jnp.full_like(hist, jnp.nan))
     return DDEResult(ys=hist, ok=ok)

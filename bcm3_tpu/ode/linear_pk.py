@@ -110,6 +110,85 @@ def propagate_two_compartment(y, dt, ka, ke, kel, kpf, kpb):
     return jnp.stack([gut, central, peripheral], axis=-1)
 
 
+def _mm(A, B, n):
+    """Unrolled f32-exact (n, n) @ (n, n): explicit multiply-add instead
+    of jnp.matmul, which routes through bf16 MXU multiplies on TPU and
+    (for tiny n inside vmapped programs) lowers to gather-heavy code."""
+    rows = []
+    for i in range(n):
+        row = []
+        for j in range(n):
+            acc = A[i, 0] * B[0, j]
+            for k in range(1, n):
+                acc = acc + A[i, k] * B[k, j]
+            row.append(acc)
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+def small_expm(A, max_squarings: int = 12):
+    """exp(A) for small static n via Pade-6 scaling-and-squaring with
+    fully unrolled matrix ops — the fast TPU lowering for the pharmaco
+    dosing-interval propagators (reference algorithm choice:
+    PharmacokineticModel.cpp:146 uses Eigen MatrixFunctions exp()).
+
+    The generic jax.scipy.linalg.expm (Pade-13 + linalg.solve custom
+    calls + dynamic squaring) measured ~15x SLOWER than a 2-thread CPU
+    on the tunneled v5e at batch 4096; this form is straight-line
+    batched vector code. The Pade denominator q = I - U + V has
+    ||A_scaled|| <= 0.5, making q strictly diagonally dominant, so the
+    unrolled no-pivot LU solve is numerically safe."""
+    n = A.shape[-1]
+    dtype = A.dtype
+    # scaling: s = ceil(log2(norm / 0.5)) masked squarings
+    norm = jnp.max(jnp.sum(jnp.abs(A), axis=-1))
+    s = jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.5))
+    s = jnp.clip(s, 0, max_squarings).astype(jnp.int32)
+    As = A * jnp.exp2(-s.astype(dtype))
+
+    c = (1.0, 0.5, 3.0 / 26.0, 5.0 / 312.0, 5.0 / 3432.0, 1.0 / 11440.0,
+         1.0 / 308880.0)
+    eye = jnp.eye(n, dtype=dtype)
+    A2 = _mm(As, As, n)
+    A4 = _mm(A2, A2, n)
+    A6 = _mm(A4, A2, n)
+    W = c[1] * eye + c[3] * A2 + c[5] * A4
+    V = c[0] * eye + c[2] * A2 + c[4] * A4 + c[6] * A6
+    U = _mm(As, W, n)
+    p = V + U
+    q = V - U
+    # unrolled no-pivot LU solve: E = q^{ -1 } p (q diagonally dominant)
+    q = [[q[i, j] for j in range(n)] for i in range(n)]
+    p = [[p[i, j] for j in range(n)] for i in range(n)]
+    for k in range(n):
+        inv = 1.0 / q[k][k]
+        for j in range(k + 1, n):
+            q[k][j] = q[k][j] * inv
+        for j in range(n):
+            p[k][j] = p[k][j] * inv
+        for i in range(k + 1, n):
+            f = q[i][k]
+            for j in range(k + 1, n):
+                q[i][j] = q[i][j] - f * q[k][j]
+            for j in range(n):
+                p[i][j] = p[i][j] - f * p[k][j]
+    for k in range(n - 1, -1, -1):
+        for i in range(k):
+            f = q[i][k]
+            for j in range(n):
+                p[i][j] = p[i][j] - f * p[k][j]
+    E = jnp.stack([jnp.stack(row) for row in p])
+
+    # masked fixed-count squaring (s is data-dependent; trip count static)
+    def body(i, Ei):
+        sq = _mm(Ei, Ei, n)
+        return jnp.where(i < s, sq, Ei)
+
+    import jax as _jax
+
+    return _jax.lax.fori_loop(0, max_squarings, body, E)
+
+
 def propagate(y, dt, ka, ke, kel, kpf=None, kpb=None):
     """Dispatch on state size (2 -> one-compartment, 3 -> two-compartment)."""
     if y.shape[-1] == 2:

@@ -461,7 +461,9 @@ def bench_pharmaco():
     for j in range(P):
         vals[vs.index_of(f"p{j+1}_absorption")] = 0.3 + 0.02 * j
     vals[vs.index_of("additive_error_standard_deviation")] = 25.0
-    batch = int(os.environ.get("BENCH_PHARMACO_BATCH", "4096"))
+    # measured on v5e (2026-08-21, unrolled small_expm): 427k @4096 ->
+    # 591k @8192 -> 585k @16384 evals/s; 8192 is the saturation point
+    batch = int(os.environ.get("BENCH_PHARMACO_BATCH", "8192"))
     out = _bench_batched_loglik(lik, vals, batch)
     out["patients"] = P
     return out
@@ -616,7 +618,9 @@ def bench_cellpop21():
 
     cells = int(os.environ.get("BENCH_CELLPOP_CELLS", "128"))
     num_cells = int(os.environ.get("BENCH_CELLPOP_INITIAL", "16"))
-    batch = int(os.environ.get("BENCH_CELLPOP21_BATCH", "128"))
+    # measured on v5e with the sparse stage solver (2026-08-21):
+    # 1263 @128 -> 1477 @256 -> 1625 @512 evals/s; 512 is the default
+    batch = int(os.environ.get("BENCH_CELLPOP21_BATCH", "512"))
     lik = build_likelihood(8, cells, num_cells, matched=False)
     base = jnp.asarray([0.1, 0.25, 0.15, 0.05])
     xs = base[None, :] * jnp.exp(
