@@ -89,7 +89,14 @@ class CellPopulationLikelihood:
     def log_prob_batch_hostmatch(self, values_batch) -> np.ndarray:
         """Batched two-phase evaluation: one jitted vmapped device
         program for the simulations + cost matrices, then the native
-        LAP solver per batch row on the host."""
+        LAP solver per batch row on the host. Rows are matched in a
+        thread pool — the C LAP call (ctypes) releases the GIL, so the
+        per-row matchings run on all host cores in parallel (the role
+        of the reference's per-thread likelihood clones,
+        CellPopulationLikelihood.h:23)."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         import jax
 
         if not hasattr(self, "_parts_fn"):
@@ -98,11 +105,20 @@ class CellPopulationLikelihood:
         host = jax.tree_util.tree_map(np.asarray, out)
         B = np.asarray(values_batch).shape[0]
 
-        def row(tree, b):
-            return jax.tree_util.tree_map(lambda a: a[b], tree)
+        def row(b):
+            return jax.tree_util.tree_map(lambda a: a[b], host)
 
+        workers = min(int(os.environ.get("BCM3_MATCH_THREADS", "0"))
+                      or (os.cpu_count() or 2), max(B, 1))
+        if workers > 1 and B > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                vals = list(
+                    ex.map(lambda b: self.finish_log_prob_host(row(b)),
+                           range(B))
+                )
+            return np.asarray(vals)
         return np.asarray(
-            [self.finish_log_prob_host(row(host, b)) for b in range(B)]
+            [self.finish_log_prob_host(row(b)) for b in range(B)]
         )
 
     def get_experiment(self, name: Optional[str] = None) -> Experiment:
