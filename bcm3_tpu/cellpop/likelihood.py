@@ -89,11 +89,12 @@ class CellPopulationLikelihood:
     def log_prob_batch_hostmatch(self, values_batch) -> np.ndarray:
         """Batched two-phase evaluation: one jitted vmapped device
         program for the simulations + cost matrices, then the native
-        LAP solver per batch row on the host. Rows are matched in a
-        thread pool — the C LAP call (ctypes) releases the GIL, so the
-        per-row matchings run on all host cores in parallel (the role
-        of the reference's per-thread likelihood clones,
-        CellPopulationLikelihood.h:23)."""
+        LAP solver per batch row on the host. BCM3_MATCH_THREADS>1 runs
+        rows in a thread pool (the C LAP call releases the GIL) — an
+        opt-in for models with LARGE per-row matchings; at bench-scale
+        matrices (16x128) the Python row bookkeeping dominates and the
+        pool measurably hurts (1131 serial vs 1048 threaded evals/s,
+        v5e 2026-08-21), so serial is the default."""
         import os
         from concurrent.futures import ThreadPoolExecutor
 
@@ -108,8 +109,8 @@ class CellPopulationLikelihood:
         def row(b):
             return jax.tree_util.tree_map(lambda a: a[b], host)
 
-        workers = min(int(os.environ.get("BCM3_MATCH_THREADS", "0"))
-                      or (os.cpu_count() or 2), max(B, 1))
+        workers = min(int(os.environ.get("BCM3_MATCH_THREADS", "1")),
+                      max(B, 1))
         if workers > 1 and B > 1:
             with ThreadPoolExecutor(max_workers=workers) as ex:
                 vals = list(
