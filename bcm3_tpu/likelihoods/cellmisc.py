@@ -221,6 +221,7 @@ class IncucytePopulationLikelihood:
         grid_points: int = 256,
         solver: str = "ring",
         trips_per_interval: int = 8,
+        ring_size: int | None = None,
     ):
         self.varset = varset
         self.experiments = experiments
@@ -228,6 +229,13 @@ class IncucytePopulationLikelihood:
         self.grid_points = grid_points
         self.solver = solver
         self.trips_per_interval = trips_per_interval
+        # sliding-ring history length: must cover the model's maximum
+        # plausible delay in grid steps (delays beyond the ring clamp to
+        # its oldest entry); the default covers delays up to ~ a quarter
+        # of the horizon. Gather cost scales with ring_size (v5e: 43.8k
+        # evals/s at G=96/K=16 vs 19.6k at G=256/K=64), so tighten it
+        # when the delay bound is known.
+        self.ring_size = ring_size
         self._ix = {name: i for i, name in enumerate(varset.names)}
 
     def _v(self, values, name):
@@ -362,7 +370,8 @@ class IncucytePopulationLikelihood:
                 res = solve_dde_ring(
                     rhs, y0, grid, apo_duration,
                     args=(wp, wa, st, et, asize, hd),
-                    ring_size=64,
+                    ring_size=self.ring_size
+                    or max(16, self.grid_points // 4),
                 )
             elif self.solver == "budget":
                 from bcm3_tpu.ode.delay import solve_dde_budget

