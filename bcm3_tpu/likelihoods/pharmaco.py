@@ -36,15 +36,25 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.linalg import expm as _scipy_expm
 
-from bcm3_tpu.ode.linear_pk import small_expm
+from bcm3_tpu.ode.linear_pk import _expm_2x2, small_expm
 
 
 def expm(A):
-    # unrolled Pade-6 scaling-squaring for the small PK system matrices:
-    # the generic jax.scipy expm (Pade-13 + linalg.solve custom calls)
-    # measured ~15x slower than a 2-thread CPU on the tunneled v5e;
-    # the unrolled form is straight-line batched vector code
-    # (ode/linear_pk.py small_expm)
+    # Small PK system matrices get fast-path exponentials: the generic
+    # jax.scipy expm (Pade-13 + linalg.solve custom calls) measured
+    # ~15x slower than a 2-thread CPU on the tunneled v5e.
+    # n == 2 (gut/central, no peripheral/transit/metabolite): the
+    # compartment matrix is lower-triangular, so its spectrum is real
+    # and the closed-form Lagrange-Sylvester exponential applies
+    # (ode/linear_pk.py _expm_2x2, the same form the PopPK propagators
+    # use). Larger n: unrolled Pade-6 scaling-squaring (small_expm).
+    if A.shape[-1] == 2:
+        e00, e01, e10, e11 = _expm_2x2(
+            A[..., 0, 0], A[..., 0, 1], A[..., 1, 0], A[..., 1, 1], 1.0
+        )
+        row0 = jnp.stack([e00, e01], axis=-1)
+        row1 = jnp.stack([e10, e11], axis=-1)
+        return jnp.stack([row0, row1], axis=-2)
     if A.shape[-1] <= 8:
         return small_expm(A)
     return _scipy_expm(A)

@@ -461,9 +461,11 @@ def bench_pharmaco():
     for j in range(P):
         vals[vs.index_of(f"p{j+1}_absorption")] = 0.3 + 0.02 * j
     vals[vs.index_of("additive_error_standard_deviation")] = 25.0
-    # measured on v5e (2026-08-21, unrolled small_expm): 427k @4096 ->
-    # 591k @8192 -> 585k @16384 evals/s; 8192 is the saturation point
-    batch = int(os.environ.get("BENCH_PHARMACO_BATCH", "8192"))
+    # measured on v5e (2026-08-21, closed-form 2x2 expm): 777k @8192 ->
+    # 1.19M @16k -> 1.98M @32k -> 2.64M @64k -> 3.59M @262k evals/s —
+    # the tiny per-eval arithmetic keeps scaling with batch width; 64k
+    # balances throughput against cold-compile time for the bench
+    batch = int(os.environ.get("BENCH_PHARMACO_BATCH", "65536"))
     out = _bench_batched_loglik(lik, vals, batch)
     out["patients"] = P
     return out
