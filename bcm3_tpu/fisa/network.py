@@ -105,6 +105,36 @@ class Molecule:
     expression_mixing_ix: Optional[int] = None
 
 
+def _unrolled_solve(A, b):
+    """Unrolled no-pivot LU solve for the small Newton systems of the
+    feedback components (component size is bounded by the reference's
+    16-parent limit, SignalingNetwork.h:37-90). The generic
+    jnp.linalg.solve custom call on tiny matrices inside vmapped
+    programs is the measured bottleneck on TPU (see ode/sparse_lu.py);
+    the Newton matrix is I - dout/dsub + ridge, diagonally dominated
+    near the root, so the no-pivot form is numerically safe (and a bad
+    step only perturbs an iterate that Newton damping then corrects)."""
+    n = b.shape[0]
+    if n > 16:
+        return jnp.linalg.solve(A, b)
+    a = [[A[i, j] for j in range(n)] for i in range(n)]
+    x = [b[i] for i in range(n)]
+    for k in range(n):
+        inv = 1.0 / a[k][k]
+        for j in range(k + 1, n):
+            a[k][j] = a[k][j] * inv
+        x[k] = x[k] * inv
+        for i in range(k + 1, n):
+            f = a[i][k]
+            for j in range(k + 1, n):
+                a[i][j] = a[i][j] - f * a[k][j]
+            x[i] = x[i] - f * x[k]
+    for k in range(n - 1, -1, -1):
+        for i in range(k):
+            x[i] = x[i] - a[i][k] * x[k]
+    return jnp.stack(x)
+
+
 class SignalingNetwork:
     def __init__(
         self,
@@ -504,7 +534,7 @@ class SignalingNetwork:
                 for _ in range(20):
                     r = residual(sub)
                     J = jax.jacfwd(residual)(sub)
-                    delta = jnp.linalg.solve(
+                    delta = _unrolled_solve(
                         J + 1e-10 * jnp.eye(len(comp)), r
                     )
                     delta = jnp.where(

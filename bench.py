@@ -500,6 +500,82 @@ def bench_incucyte():
                                  jitter=0.002)
 
 
+def bench_fisa():
+    """fISA steady-state signaling throughput: the bistable two-node
+    feedback network with 10-start Sobol multiroot solves per eval (the
+    hardest fISA path; reference: src/fISA/SignalingNetwork.cpp
+    feedback solves). fISA is discontinued upstream — this row exists
+    to complete likelihood-family perf coverage, no CPU anchor."""
+    import tempfile
+
+    import h5py
+    import numpy as np
+
+    from bcm3_tpu.likelihoods import create_likelihood
+    from bcm3_tpu.model.variables import VariableSet
+
+    SBML_NS = "http://www.sbml.org/sbml/level2/version4"
+    CD = "http://www.sbml.org/2001/ns/celldesigner"
+
+    def species(sid, name):
+        return (
+            f'<species id="{sid}" name="{name}" initialAmount="0">'
+            f'<annotation><celldesigner:extension xmlns:celldesigner="{CD}">'
+            f"<celldesigner:speciesIdentity>"
+            f"<celldesigner:class>PROTEIN</celldesigner:class>"
+            f"</celldesigner:speciesIdentity>"
+            f"</celldesigner:extension></annotation></species>"
+        )
+
+    def reaction(rid, reactant, product):
+        return (
+            f'<reaction id="{rid}"><annotation>'
+            f'<celldesigner:extension xmlns:celldesigner="{CD}">'
+            f"<celldesigner:reactionType>POSITIVE_INFLUENCE"
+            f"</celldesigner:reactionType></celldesigner:extension>"
+            f"</annotation>"
+            f'<listOfReactants><speciesReference species="{reactant}"/>'
+            f"</listOfReactants>"
+            f'<listOfProducts><speciesReference species="{product}"/>'
+            f"</listOfProducts></reaction>"
+        )
+
+    d = tempfile.mkdtemp(prefix="bench_fisa_")
+    with open(os.path.join(d, "net.xml"), "w") as f:
+        f.write(
+            f'<?xml version="1.0"?>\n'
+            f'<sbml xmlns="{SBML_NS}" level="2" version="4"><model id="net">'
+            f"<listOfSpecies>{species('s1', 'A')}{species('s2', 'B')}"
+            f"</listOfSpecies>"
+            f"<listOfReactions>{reaction('r1', 's1', 's2')}"
+            f"{reaction('r2', 's2', 's1')}</listOfReactions>"
+            f"</model></sbml>"
+        )
+    with h5py.File(os.path.join(d, "data.nc"), "w") as f:
+        g = f.create_group("exp1")
+        g.create_dataset("cell_lines", data=np.array(["c1"], dtype="S8"))
+        g.create_dataset("a_data", data=np.array([[0.057]]))
+    with open(os.path.join(d, "likelihood.xml"), "w") as f:
+        f.write(
+            '<bcm_likelihood type="fISA">\n'
+            '<experiment name="exp1" model_file="net.xml"'
+            ' data_file="data.nc" activation_limit="logistic"'
+            ' multiroot_solves="10">\n'
+            '  <data species_name="A" data_name="a_data"'
+            ' likelihood_function="normal" use_base="false"'
+            ' use_scale="false" scale_var_with_mean="false" sd="0.02"/>\n'
+            "</experiment>\n"
+            "</bcm_likelihood>\n"
+        )
+    vs = VariableSet()
+    for name in ("base_A", "base_B", "strength_A_B", "strength_B_A"):
+        vs.add_variable(name)
+    lik = create_likelihood(os.path.join(d, "likelihood.xml"), vs)
+    vals = np.asarray([0.15, 0.15, 0.8, 0.8])
+    batch = int(os.environ.get("BENCH_FISA_BATCH", "16384"))
+    return _bench_batched_loglik(lik, vals, batch, jitter=0.01)
+
+
 def _bench_pt_example(example, num_chains, E, S, adapt_times, seed=7):
     """ESS/sec + per-temperature acceptance rates on one reference
     example config (analytic target; sampling QUALITY per second).
@@ -870,6 +946,16 @@ def main():
         flush=True,
     )
     try:
+        fisa = bench_fisa()
+    except Exception as e:
+        print(f"# fisa config failed: {e!r}", file=sys.stderr, flush=True)
+        fisa = {"evals_per_sec": float("nan")}
+    print(
+        f"# fisa done: {fisa['evals_per_sec']:.0f} evals/s",
+        file=sys.stderr,
+        flush=True,
+    )
+    try:
         cellpop21 = bench_cellpop21()
     except Exception as e:
         print(f"# cellpop21 config failed: {e!r}", file=sys.stderr, flush=True)
@@ -1037,6 +1123,9 @@ def main():
             incucyte["evals_per_sec"], "incucyte_evals_per_sec"
         ),
         "incucyte_batch": incucyte.get("batch"),
+        # fISA (discontinued upstream; row completes family coverage)
+        "fisa_evals_per_sec": rnd(fisa["evals_per_sec"]),
+        "fisa_batch": fisa.get("batch"),
         "banana_ess_per_sec": rnd(banana["ess_per_sec"]),
         # vs the C++ CPU PT-GMM surrogate on the same target (isolates
         # the sampler ENGINE ratio from the batched-ODE wins)
