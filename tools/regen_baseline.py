@@ -42,6 +42,7 @@ ROWS = [
      "pharmaco_vs_baseline"),
     ("incucyte_evals_per_sec", "incucyte delay-ODE", "evals/s",
      "incucyte_vs_baseline"),
+    ("fisa_evals_per_sec", "fISA multiroot steady-state", "evals/s", None),
     ("banana_ess_per_sec", "banana engine ESS/sec", "ESS/s",
      "banana_vs_baseline"),
     ("banana_ess_per_sec_unadapted", "banana ESS/sec (never-adapted A/B)",
