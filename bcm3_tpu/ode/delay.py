@@ -74,13 +74,17 @@ def solve_dde_grid(
             b = jnp.where(i0 == 0, win[1], win[2])
             return a * (1.0 - frac) + b * frac
 
-        def fd(tt, yy):
-            return f(tt, yy, lookup(tt - delay), args)
-
-        k1 = fd(t, y)
-        k2 = fd(t + 0.5 * h, y + 0.5 * h * k1)
-        k3 = fd(t + 0.5 * h, y + 0.5 * h * k2)
-        k4 = fd(t + h, y + h * k3)
+        # three distinct delayed lookups per step (the classical RK4
+        # stage times are t, t+h/2, t+h/2, t+h — stages 2 and 3 share
+        # one delayed value, so computing it once is bit-identical and
+        # saves a quarter of the history lookups)
+        yd0 = lookup(t - delay)
+        ydh = lookup(t + 0.5 * h - delay)
+        yd1 = lookup(t + h - delay)
+        k1 = f(t, y, yd0, args)
+        k2 = f(t + 0.5 * h, y + 0.5 * h * k1, ydh, args)
+        k3 = f(t + 0.5 * h, y + 0.5 * h * k2, ydh, args)
+        k4 = f(t + h, y + h * k3, yd1, args)
         y_new = y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
         ok = ok & jnp.all(jnp.isfinite(y_new))
         y_new = jnp.where(ok, y_new, jnp.nan)
@@ -271,13 +275,17 @@ def solve_dde_ring(
             )
             return a[0] * (1.0 - frac) + a[1] * frac
 
-        def fd(tt, yy):
-            return f(tt, yy, lookup(tt - delay), args)
-
-        k1 = fd(t, y)
-        k2 = fd(t + 0.5 * h, y + 0.5 * h * k1)
-        k3 = fd(t + 0.5 * h, y + 0.5 * h * k2)
-        k4 = fd(t + h, y + h * k3)
+        # three distinct delayed lookups per step (the classical RK4
+        # stage times are t, t+h/2, t+h/2, t+h — stages 2 and 3 share
+        # one delayed value, so computing it once is bit-identical and
+        # saves a quarter of the history lookups)
+        yd0 = lookup(t - delay)
+        ydh = lookup(t + 0.5 * h - delay)
+        yd1 = lookup(t + h - delay)
+        k1 = f(t, y, yd0, args)
+        k2 = f(t + 0.5 * h, y + 0.5 * h * k1, ydh, args)
+        k3 = f(t + 0.5 * h, y + 0.5 * h * k2, ydh, args)
+        k4 = f(t + h, y + h * k3, yd1, args)
         y_new = y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
         ok = ok & jnp.all(jnp.isfinite(y_new))
         y_new = jnp.where(ok, y_new, jnp.nan)
