@@ -189,3 +189,32 @@ def test_cellpop_logp_sparse_matches_dense(monkeypatch, tmp_path):
 
     assert np.isfinite(dense).all()
     np.testing.assert_allclose(sparse, dense, rtol=5e-4)
+
+
+@pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs an 8-device mesh"
+)
+def test_sharded_cellpop_sparse_matches_unsharded():
+    """The sparse stage solver under mesh sharding: the 21-species
+    cellpop likelihood evaluates identically with the batch axis sharded
+    over the 8-device virtual mesh — multi-chip sharding of the chain
+    batch is the scaling axis for reference-shaped cellpop workloads."""
+    from bench_cellpop_scaling import build_likelihood
+
+    from bcm3_tpu.parallel.mesh import chain_mesh, shard_leading_axis
+
+    lik = build_likelihood(8, 16, 4, matched=False)
+    assert lik.model.experiments[0].sparse_solver is not None
+    rng = np.random.default_rng(4)
+    base = np.array([0.1, 0.25, 0.15, 0.05])
+    xs = jnp.asarray(base[None, :] * np.exp(
+        0.05 * rng.normal(size=(16, 4))
+    ))
+    f = jax.jit(jax.vmap(lik.log_prob))
+    unsharded = np.asarray(f(xs))
+    assert np.isfinite(unsharded).all()
+
+    mesh = chain_mesh(8)
+    xs_sharded = shard_leading_axis(xs, mesh, 16)
+    sharded = np.asarray(f(xs_sharded))
+    np.testing.assert_allclose(sharded, unsharded, rtol=1e-12)

@@ -253,6 +253,7 @@ def main():
     ap.add_argument("--modules", type=int, nargs="*", default=[0, 8, 18])
     ap.add_argument("--matched-only", action="store_true")
     ap.add_argument("--skip-matched", action="store_true")
+    ap.add_argument("--matched-modules", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -277,11 +278,12 @@ def main():
             }), flush=True)
 
     if not args.skip_matched:
-        lik = build_likelihood(0, args.cells, args.num_cells, matched=True)
+        m = args.matched_modules
+        lik = build_likelihood(m, args.cells, args.num_cells, matched=True)
         r = bench_one(lik, args.batch, args.reps, matched=True)
         print(json.dumps({
             "config": "matched_scoring",
-            "species": 5,
+            "species": 5 + 2 * m,
             "scoring": "hungarian_time_course",
             "batch": args.batch,
             **r,
