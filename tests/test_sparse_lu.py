@@ -218,3 +218,24 @@ def test_sharded_cellpop_sparse_matches_unsharded():
     xs_sharded = shard_leading_axis(xs, mesh, 16)
     sharded = np.asarray(f(xs_sharded))
     np.testing.assert_allclose(sharded, unsharded, rtol=1e-12)
+
+
+def test_singular_stage_matrix_fails_soft():
+    """A structurally singular G must yield non-finite solve output
+    (-> step rejection by the error controller), never silently wrong
+    values: the no-pivot factorization's failure mode is 1/0 = inf."""
+    P = np.zeros((3, 3), dtype=bool)
+    P[0, 1] = P[1, 0] = True
+    solver = SparseStageSolver(P)
+    # J chosen so G = inv_hg*I - J has a zero pivot after elimination:
+    # G = [[1, -2], [-2, 4]] block is singular
+    jac = {
+        (0, 0): jnp.asarray(0.0),
+        (0, 1): jnp.asarray(2.0),
+        (1, 0): jnp.asarray(2.0),
+        (1, 1): jnp.asarray(-3.0),
+        (2, 2): jnp.asarray(0.0),
+    }
+    A = solver.factor_G(jac, jnp.asarray(1.0))
+    x = np.asarray(solver.solve(A, jnp.asarray([1.0, 1.0, 1.0])))
+    assert not np.isfinite(x).all()
