@@ -495,7 +495,12 @@ def bench_incucyte():
     # ~6 h). Override via BENCH_INCUCYTE_GRID / _RING.
     lik.grid_points = int(os.environ.get("BENCH_INCUCYTE_GRID", "96"))
     lik.ring_size = int(os.environ.get("BENCH_INCUCYTE_RING", "16"))
-    batch = int(os.environ.get("BENCH_INCUCYTE_BATCH", "512"))
+    # batch sweep (measured v5e 2026-08-21): 43.5k @512 -> 69.3k @1024
+    # -> 93.8k @2048 -> 112.8k @3072 -> 82.5k @3584 -> ~85k @4096-8192.
+    # The 3072 peak (24*128 lanes, 2.5x the 2-thread C++ anchor) is the
+    # measured optimum; past it the per-lane history rings' HBM traffic
+    # wins, the same cliff as the headline's ensemble sweep.
+    batch = int(os.environ.get("BENCH_INCUCYTE_BATCH", "3072"))
     return _bench_batched_loglik(lik, np.asarray(values), batch,
                                  jitter=0.002)
 
