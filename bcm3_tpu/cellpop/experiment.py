@@ -733,6 +733,39 @@ class Experiment:
         the order :meth:`log_prob_parts` emits their cost matrices."""
         return [dl.error.weight for dl in self.matched_dls]
 
+    def finish_log_prob_host_batch(self, partial_logp, ok, costs):
+        """Vectorized host half of the two-phase evaluation: every leaf
+        carries a leading batch axis (the vmapped
+        :meth:`log_prob_parts` output pulled to numpy). All B matchings
+        of a data likelihood are solved by ONE native call
+        (bcm3_tpu.native.lap_match_logp_batch — C++ threads inside a
+        single GIL-releasing crossing) instead of a Python loop of
+        per-row solves. Semantics identical to B calls of
+        :meth:`finish_log_prob_host` (equivalence-tested in
+        tests/test_cellpop_matched.py)."""
+        from bcm3_tpu.native import lap_match_logp_batch
+
+        total = np.asarray(partial_logp, dtype=np.float64).copy()
+        for dl, (cost, ov, sv) in zip(self.matched_dls, costs):
+            c = np.asarray(cost, dtype=np.float64)
+            ovn = np.asarray(ov, dtype=bool)
+            svn = np.asarray(sv, dtype=bool)
+            if c.ndim == 4:  # time_points: (B, T, n_obs, n_sim)
+                B, T = c.shape[:2]
+                matched = lap_match_logp_batch(
+                    c.reshape(B * T, *c.shape[2:]),
+                    ovn.reshape(B * T, -1),
+                    svn.reshape(B * T, -1),
+                ).reshape(B, T).sum(axis=1)
+            else:
+                matched = lap_match_logp_batch(c, ovn, svn)
+            with np.errstate(invalid="ignore"):
+                # weight 0 x -inf -> nan -> -inf below, as in the
+                # serial path's Python-float arithmetic
+                total = total + dl.error.weight * matched
+        bad = ~np.asarray(ok, dtype=bool) | np.isnan(total)
+        return np.where(bad, -np.inf, total)
+
     def finish_log_prob_host(self, partial_logp, ok, costs):
         """Host half of the two-phase evaluation: solve each matched
         cost matrix with the native LAP solver and add the weighted

@@ -88,39 +88,58 @@ class CellPopulationLikelihood:
 
     def log_prob_batch_hostmatch(self, values_batch) -> np.ndarray:
         """Batched two-phase evaluation: one jitted vmapped device
-        program for the simulations + cost matrices, then the native
-        LAP solver per batch row on the host. BCM3_MATCH_THREADS>1 runs
-        rows in a thread pool (the C LAP call releases the GIL) — an
-        opt-in for models with LARGE per-row matchings; at bench-scale
-        matrices (16x128) the Python row bookkeeping dominates and the
-        pool measurably hurts (1131 serial vs 1048 threaded evals/s,
-        v5e 2026-08-21), so serial is the default."""
-        import os
-        from concurrent.futures import ThreadPoolExecutor
-
+        program for the simulations + cost matrices, then ONE native
+        GIL-releasing LAP call per data likelihood for the whole batch
+        (Experiment.finish_log_prob_host_batch; C++ threads inside —
+        the round-5 Python ThreadPoolExecutor attempt lost to GIL row
+        bookkeeping, so the batch loop moved into C++ entirely).
+        BCM3_MATCH_THREADS overrides the native thread count
+        (default: all cores)."""
         import jax
 
-        if not hasattr(self, "_parts_fn"):
-            self._parts_fn = jax.jit(jax.vmap(self.log_prob_parts))
-        out = self._parts_fn(jnp.asarray(values_batch))
-        host = jax.tree_util.tree_map(np.asarray, out)
-        B = np.asarray(values_batch).shape[0]
+        vals = jnp.asarray(values_batch)
+        B = int(vals.shape[0])
+        if not hasattr(self, "_parts_struct"):
+            self._parts_struct = {}
 
-        def row(b):
-            return jax.tree_util.tree_map(lambda a: a[b], host)
-
-        workers = min(int(os.environ.get("BCM3_MATCH_THREADS", "1")),
-                      max(B, 1))
-        if workers > 1 and B > 1:
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                vals = list(
-                    ex.map(lambda b: self.finish_log_prob_host(row(b)),
-                           range(B))
+            # Pack every leaf of the parts tree into ONE flat device
+            # array so the host copy is a single transfer RPC: on the
+            # tunneled device each pulled buffer pays ~67 ms latency
+            # (tools/emit_gap_probe.py --account), and the 5-leaf tree
+            # cost 220 ms/pull vs ~12 ms of actual host matching.
+            def _packed(v):
+                parts = jax.vmap(self.log_prob_parts)(v)
+                leaves = jax.tree_util.tree_leaves(parts)
+                dt = jnp.result_type(
+                    *[l.dtype for l in leaves if l.dtype != jnp.bool_]
                 )
-            return np.asarray(vals)
-        return np.asarray(
-            [self.finish_log_prob_host(row(b)) for b in range(B)]
-        )
+                return jnp.concatenate(
+                    [jnp.ravel(leaf).astype(dt) for leaf in leaves]
+                )
+
+            self._parts_fn = jax.jit(_packed)
+        if B not in self._parts_struct:
+            self._parts_struct[B] = jax.eval_shape(
+                jax.vmap(self.log_prob_parts), vals
+            )
+        struct = self._parts_struct[B]
+        flat = np.asarray(self._parts_fn(vals))
+        leaves, treedef = jax.tree_util.tree_flatten(struct)
+        host_leaves = []
+        off = 0
+        for s in leaves:
+            n = int(np.prod(s.shape)) if s.shape else 1
+            host_leaves.append(
+                flat[off:off + n].reshape(s.shape).astype(s.dtype)
+            )
+            off += n
+        host = jax.tree_util.tree_unflatten(treedef, host_leaves)
+        total = np.zeros(B, dtype=np.float64)
+        for exp, (partial, ok, costs) in zip(self.experiments, host):
+            total = total + exp.finish_log_prob_host_batch(
+                partial, ok, costs
+            )
+        return total
 
     def get_experiment(self, name: Optional[str] = None) -> Experiment:
         """Experiment by name (reference:

@@ -61,6 +61,18 @@ def get_lap_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int),
         ]
+        if hasattr(lib, "bcm3_lap_match_logp_batch"):
+            lib.bcm3_lap_match_logp_batch.restype = None
+            lib.bcm3_lap_match_logp_batch.argtypes = [
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double),
+            ]
         _lap_lib = lib
     except OSError as e:
         logger.debug("Cannot load native LAP library: %s", e)
@@ -92,3 +104,59 @@ def lap_solve(cost: np.ndarray):
     out = np.full(n_rows, -1, dtype=np.int64)
     out[rows] = cols
     return out, float(cost[rows, cols].sum())
+
+
+def lap_match_logp_batch(cost_logp: np.ndarray, obs_valid: np.ndarray,
+                         sim_valid: np.ndarray,
+                         n_threads: int = 0) -> np.ndarray:
+    """Batched masked matched-logp: for each of B (n_obs, n_sim)
+    log-likelihood matrices, Hungarian-match valid observed rows to
+    valid simulated columns and return the maximized total logp
+    (reference semantics: DataLikelihoodTimeCourse.cpp:187-355 /
+    DataLikelihoodTimePoints.cpp:200-289). Rows with no valid obs give
+    0.0; rows with fewer valid sims than obs give -inf.
+
+    One GIL-releasing native call for the whole batch (C++ threads
+    inside, ``n_threads=0`` -> all cores); falls back to a per-row
+    Python loop over the single-problem solver when the shared library
+    is unavailable.
+    """
+    cost = np.ascontiguousarray(cost_logp, dtype=np.float64)
+    ov = np.ascontiguousarray(obs_valid, dtype=np.uint8)
+    sv = np.ascontiguousarray(sim_valid, dtype=np.uint8)
+    B, n_obs, n_sim = cost.shape
+    if B == 0:
+        return np.empty(0, dtype=np.float64)
+    lib = get_lap_library()
+    if lib is not None and hasattr(lib, "bcm3_lap_match_logp_batch"):
+        if n_threads <= 0:
+            n_threads = int(os.environ.get("BCM3_MATCH_THREADS", "0"))
+        if n_threads <= 0:
+            n_threads = min(os.cpu_count() or 1, 16)
+        totals = np.empty(B, dtype=np.float64)
+        lib.bcm3_lap_match_logp_batch(
+            B, n_obs, n_sim,
+            cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ov.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_threads,
+            totals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return totals
+    # scipy/python fallback: same semantics, one problem at a time
+    totals = np.empty(B, dtype=np.float64)
+    for b in range(B):
+        oi = np.where(ov[b])[0]
+        si = np.where(sv[b])[0]
+        if len(oi) == 0:
+            totals[b] = 0.0
+            continue
+        if len(si) < len(oi):
+            totals[b] = -np.inf
+            continue
+        sub = cost[b][np.ix_(oi, si)]
+        sub = np.where(np.isfinite(sub), sub, -1e100)
+        _, neg_total = lap_solve(-sub)
+        t = -neg_total
+        totals[b] = t if (np.isfinite(t) and t > -1e90) else -np.inf
+    return totals

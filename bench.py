@@ -462,10 +462,11 @@ def bench_pharmaco():
         vals[vs.index_of(f"p{j+1}_absorption")] = 0.3 + 0.02 * j
     vals[vs.index_of("additive_error_standard_deviation")] = 25.0
     # measured on v5e (2026-08-21, closed-form 2x2 expm): 777k @8192 ->
-    # 1.19M @16k -> 1.98M @32k -> 2.64M @64k -> 3.59M @262k evals/s —
-    # the tiny per-eval arithmetic keeps scaling with batch width; 64k
-    # balances throughput against cold-compile time for the bench
-    batch = int(os.environ.get("BENCH_PHARMACO_BATCH", "65536"))
+    # 1.19M @16k -> 1.98M @32k -> 2.62M @64k -> 3.10M @131k ->
+    # 3.54M @262k -> 3.73M @524k -> 3.75M @1M evals/s — the tiny
+    # per-eval arithmetic scales with batch width until ~524k lanes,
+    # the measured saturation knee (1M buys +0.3% for 2x the memory)
+    batch = int(os.environ.get("BENCH_PHARMACO_BATCH", "524288"))
     out = _bench_batched_loglik(lik, vals, batch)
     out["patients"] = P
     return out
@@ -577,7 +578,9 @@ def bench_fisa():
         vs.add_variable(name)
     lik = create_likelihood(os.path.join(d, "likelihood.xml"), vs)
     vals = np.asarray([0.15, 0.15, 0.8, 0.8])
-    batch = int(os.environ.get("BENCH_FISA_BATCH", "16384"))
+    # batch sweep (measured v5e 2026-08-21): 1.57M @16k -> 2.58M @32k
+    # -> 4.71M @64k (peak) -> 3.84M @131k evals/s
+    batch = int(os.environ.get("BENCH_FISA_BATCH", "65536"))
     return _bench_batched_loglik(lik, vals, batch, jitter=0.01)
 
 

@@ -13,9 +13,11 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libbcm3lap.so lap.cpp
 
+#include <cmath>
 #include <cstddef>
 #include <cstdint>
 #include <limits>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -99,6 +101,94 @@ void bcm3_lap_solve_batch(int batch, int n_rows, int n_cols,
                                cost + (size_t)b * n_rows * n_cols,
                                row_to_col + (size_t)b * n_rows);
   }
+}
+
+}  // extern "C"
+
+// Masked matched-logp batch: the full per-row semantics of the Python
+// hungarian_match_logp (bcm3_tpu/cellpop/data_likelihood.py) moved into
+// one native call so the sampler's host-match phase makes a single
+// GIL-releasing ctypes crossing per data likelihood per batch instead of
+// one per batch ROW (reference scoring semantics:
+// src/cellpop/DataLikelihoodTimeCourse.cpp:187-355,
+// DataLikelihoodTimePoints.cpp:200-289 with
+// hungarianMinimumWeightPerfectMatching maximizing total log-likelihood).
+//
+// Per problem b with cost_logp (n_obs x n_sim) and validity masks:
+//   - no valid observed rows            -> 0.0
+//   - fewer valid simulated than obs    -> -inf
+//   - otherwise maximize the total logp of a perfect matching of valid
+//     rows into valid columns (non-finite entries clamped to -1e100);
+//     a total at or below -1e90 means an observed cell could only pair
+//     with an impossible column -> -inf.
+namespace {
+
+double match_logp_one(int n_obs, int n_sim, const double* cost_logp,
+                      const uint8_t* obs_valid, const uint8_t* sim_valid,
+                      std::vector<double>& sub, std::vector<int>& obs_ix,
+                      std::vector<int>& sim_ix, std::vector<int>& r2c) {
+  const double NEG_INF = -std::numeric_limits<double>::infinity();
+  obs_ix.clear();
+  sim_ix.clear();
+  for (int i = 0; i < n_obs; ++i)
+    if (obs_valid[i]) obs_ix.push_back(i);
+  for (int j = 0; j < n_sim; ++j)
+    if (sim_valid[j]) sim_ix.push_back(j);
+  const int k = (int)obs_ix.size(), m = (int)sim_ix.size();
+  if (k == 0) return 0.0;
+  if (m < k) return NEG_INF;
+  sub.resize((size_t)k * m);
+  for (int r = 0; r < k; ++r) {
+    const double* row = cost_logp + (size_t)obs_ix[r] * n_sim;
+    for (int c = 0; c < m; ++c) {
+      const double v = row[sim_ix[c]];
+      // maximize logp == minimize -logp; clamp non-finite to -1e100
+      sub[(size_t)r * m + c] = -(std::isfinite(v) ? v : -1e100);
+    }
+  }
+  r2c.resize(k);
+  const double neg_total = bcm3_lap_solve(k, m, sub.data(), r2c.data());
+  const double total = -neg_total;
+  if (!std::isfinite(total) || total <= -1e90) return NEG_INF;
+  return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// cost_logp: (batch, n_obs, n_sim) row-major; obs_valid: (batch, n_obs);
+// sim_valid: (batch, n_sim); totals: (batch,) out. n_threads <= 1 runs
+// serial; otherwise the batch is chunked across std::threads (the caller
+// holds no GIL during this call, so the threads genuinely parallelize).
+void bcm3_lap_match_logp_batch(int batch, int n_obs, int n_sim,
+                               const double* cost_logp,
+                               const uint8_t* obs_valid,
+                               const uint8_t* sim_valid, int n_threads,
+                               double* totals) {
+  auto run = [&](int b_lo, int b_hi) {
+    std::vector<double> sub;
+    std::vector<int> obs_ix, sim_ix, r2c;
+    for (int b = b_lo; b < b_hi; ++b) {
+      totals[b] = match_logp_one(
+          n_obs, n_sim, cost_logp + (size_t)b * n_obs * n_sim,
+          obs_valid + (size_t)b * n_obs, sim_valid + (size_t)b * n_sim,
+          sub, obs_ix, sim_ix, r2c);
+    }
+  };
+  if (n_threads <= 1 || batch < 2 * n_threads) {
+    run(0, batch);
+    return;
+  }
+  std::vector<std::thread> pool;
+  const int chunk = (batch + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int lo = t * chunk;
+    const int hi = lo + chunk < batch ? lo + chunk : batch;
+    if (lo >= hi) break;
+    pool.emplace_back(run, lo, hi);
+  }
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

@@ -33,3 +33,47 @@ def test_lap_with_large_penalties():
     assign, total = lap_solve(cost)
     np.testing.assert_array_equal(assign, [0, 1])
     assert total == 0.0
+
+
+def test_lap_match_logp_batch_equals_per_row():
+    """The one-native-call batched masked matcher == the per-row
+    hungarian_match_logp on every edge case: partial validity masks, a
+    row with no valid observations (0.0), a row with too few valid
+    simulated cells (-inf), and an all-impossible cost matrix (-inf)."""
+    from bcm3_tpu.cellpop.data_likelihood import hungarian_match_logp
+    from bcm3_tpu.native import lap_match_logp_batch
+
+    rng = np.random.default_rng(7)
+    B, n_obs, n_sim = 17, 6, 11
+    cost = rng.normal(size=(B, n_obs, n_sim))
+    ov = rng.random((B, n_obs)) < 0.75
+    sv = rng.random((B, n_sim)) < 0.65
+    ov[2] = False                 # no valid obs
+    sv[3] = False                 # too few sims
+    cost[5] = -np.inf             # impossible matching
+    ov[5] = True
+    sv[5] = True
+    cost[8, :, :3] = np.inf       # non-finite clamp path
+
+    batched = lap_match_logp_batch(cost, ov, sv)
+    serial = np.array([
+        hungarian_match_logp(cost[b], ov[b], sv[b]) for b in range(B)
+    ])
+    np.testing.assert_allclose(batched, serial, rtol=1e-12)
+    assert batched[2] == 0.0
+    assert batched[3] == -np.inf
+    assert batched[5] == -np.inf
+
+
+def test_lap_match_logp_batch_threaded_identical():
+    """C++ thread count must not change results (pure batch split)."""
+    from bcm3_tpu.native import lap_match_logp_batch
+
+    rng = np.random.default_rng(11)
+    B, n, m = 64, 5, 9
+    cost = rng.normal(size=(B, n, m))
+    ov = np.ones((B, n), dtype=bool)
+    sv = np.ones((B, m), dtype=bool)
+    one = lap_match_logp_batch(cost, ov, sv, n_threads=1)
+    four = lap_match_logp_batch(cost, ov, sv, n_threads=4)
+    np.testing.assert_array_equal(one, four)
