@@ -620,9 +620,16 @@ def _bench_pt_example(example, num_chains, E, S, adapt_times, seed=7):
     )
     s = SamplerPT(prior, lik, cfg)
     s.run()  # compile + adapt warmup
-    t0 = time.time()
-    res = s.run()
-    elapsed = time.time() - t0
+    # median-of-reps, the headline row's convention: these e2e rows
+    # swing with tunnel pull state (observed 22.7k vs 41.4k ESS/s for
+    # the same code across captures), so a single timed run is noise
+    reps = int(os.environ.get("BENCH_PT_REPS", "3"))
+    elapsed_reps = []
+    for _ in range(reps):
+        t0 = time.time()
+        res = s.run()
+        elapsed_reps.append(time.time() - t0)
+    elapsed = statistics.median(elapsed_reps)
     # drop the pre-adaptation half (the reference's stats also discard
     # burn-in via sample_ix)
     samples = res["samples"].reshape(S, E, 1, -1)[S // 2:]
@@ -668,6 +675,7 @@ def _bench_pt_example(example, num_chains, E, S, adapt_times, seed=7):
         "ess_per_sec": float(ess.mean()) * E / elapsed,
         "samples_per_sec_per_chain": S / elapsed,
         "ensembles": E,
+        "elapsed_reps": [round(e, 2) for e in elapsed_reps],
         **rates,
     }
 
