@@ -77,3 +77,21 @@ def test_lap_match_logp_batch_threaded_identical():
     one = lap_match_logp_batch(cost, ov, sv, n_threads=1)
     four = lap_match_logp_batch(cost, ov, sv, n_threads=4)
     np.testing.assert_array_equal(one, four)
+
+
+def test_lap_match_logp_batch_fallback_matches_native(monkeypatch):
+    """The scipy fallback (no shared library) must agree with the
+    native batched matcher exactly."""
+    import bcm3_tpu.native as native
+
+    rng = np.random.default_rng(13)
+    B, n, m = 9, 4, 7
+    cost = rng.normal(size=(B, n, m))
+    ov = rng.random((B, n)) < 0.8
+    sv = rng.random((B, m)) < 0.7
+    ov[1] = False
+    sv[2] = False
+    want = native.lap_match_logp_batch(cost, ov, sv)
+    monkeypatch.setattr(native, "get_lap_library", lambda: None)
+    got = native.lap_match_logp_batch(cost, ov, sv)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
