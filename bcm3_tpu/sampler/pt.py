@@ -228,7 +228,14 @@ class PTState:
     acc_mut: jax.Array  # (C,)
     att_exc: jax.Array  # (C,)
     acc_exc: jax.Array  # (C,)
-    history: jax.Array  # (C, H, D) float32 ring buffer
+    # (C, H*D) float32 ring buffer, row h of chain c at columns
+    # [h*D, (h+1)*D). Stored FLATTENED: the natural (C, H, D) shape puts
+    # the tiny D axis in the minor-two layout dims, and one XLA
+    # layout-assignment copy into {D, C, H}:T(8,128) pads D -> 128 lanes
+    # (measured: a 590 MB logical buffer materialized as a 37.7 GB
+    # allocation at the banana config, D=2). A 2-D array can only pad
+    # 8x128 on two large axes, which is bounded by ~2%.
+    history: jax.Array
     hist_adds: jax.Array  # () int32 — number of AddSample calls (lockstep)
     swap_parity: jax.Array  # () int32: 0 -> next swap starts even
     key: jax.Array
@@ -480,14 +487,15 @@ class SamplerPT:
         write_mask = temps != 0.0
         if mask is not None:
             write_mask = write_mask & mask
-        rows = jnp.where(
-            write_mask[:, None], x.astype(jnp.float32), state.history[:, ix, :]
+        D = self.num_variables
+        col = (ix * D).astype(jnp.int32)
+        cur = jax.lax.dynamic_slice(
+            state.history, (jnp.int32(0), col), (state.history.shape[0], D)
         )
+        rows = jnp.where(write_mask[:, None], x.astype(jnp.float32), cur)
         new_hist = jax.lax.cond(
             do_write,
-            lambda h: jax.lax.dynamic_update_slice(
-                h, rows[:, None, :], (jnp.int32(0), ix.astype(jnp.int32), jnp.int32(0))
-            ),
+            lambda h: jax.lax.dynamic_update_slice(h, rows, (jnp.int32(0), col)),
             lambda h: h,
             state.history,
         )
@@ -994,7 +1002,7 @@ class SamplerPT:
             att_exc=jnp.zeros(C, dtype=jnp.int32),
             acc_exc=jnp.zeros(C, dtype=jnp.int32),
             history=jnp.zeros(
-                (C, self.history_size, self.num_variables), dtype=jnp.float32
+                (C, self.history_size * self.num_variables), dtype=jnp.float32
             ),
             hist_adds=jnp.zeros((), dtype=jnp.int32),
             swap_parity=jnp.zeros((), dtype=jnp.int32),
@@ -1002,7 +1010,11 @@ class SamplerPT:
         )
 
     def _history_matrices(self, state: PTState) -> Tuple[np.ndarray, int]:
-        hist = _to_host(state.history).astype(np.float64)
+        hist = (
+            _to_host(state.history)
+            .astype(np.float64)
+            .reshape(-1, self.history_size, self.num_variables)
+        )
         adds = int(state.hist_adds)
         count = min(self.history_size, adds // self.history_subsampling)
         return hist[:, :count, :], count
@@ -1048,7 +1060,11 @@ class SamplerPT:
             ix = self._downsample_indices(n)
             e, t = ix // max(count, 1), ix % max(count, 1)
             chain_rows = jnp.asarray(i + e * C)
-            rows = state.history[chain_rows, jnp.asarray(t), :]
+            # 2-D gather on the flat buffer; reshaping to (C, H, D) on
+            # device would reintroduce the D-minor tiled layout
+            D = self.num_variables
+            cols = jnp.asarray(t)[:, None] * D + jnp.arange(D)[None, :]
+            rows = state.history[chain_rows[:, None], cols]
             out.append(np.asarray(rows).astype(np.float64))
         return out
 
