@@ -269,7 +269,9 @@ def propose_ensemble(prop: BlockProposal, x_el, lower, upper, keys_el):
 
     x_el: (E, L, d); keys_el: (E, L) PRNG keys (same per-lane keys the
     vmapped path would receive). Returns (new_block (E, L, d),
-    selected (E, L) int32)."""
+    selected (E, L) int32, log_resp (E, L, K)) — the forward
+    responsibilities are returned so `mh_log_ratio_ensemble` can reuse
+    them instead of recomputing the mixture pass at x."""
     E, L, d = x_el.shape
     K = prop.means.shape[1]
     log_resp = _ensemble_log_resp(prop, x_el)  # (E, L, K)
@@ -303,17 +305,21 @@ def propose_ensemble(prop: BlockProposal, x_el, lower, upper, keys_el):
 
     new_block = x_el + step * (t_scale * scale_sel)[..., None]
     new_block = reflect_on_bounds(new_block, lower, upper)
-    return new_block, sel.astype(jnp.int32)
+    return new_block, sel.astype(jnp.int32), log_resp
 
 
-def mh_log_ratio_ensemble(prop: BlockProposal, x_el, new_el):
+def mh_log_ratio_ensemble(prop: BlockProposal, x_el, new_el,
+                          log_fwd_resp=None):
     """Batched `mh_log_ratio` over (E, L) lanes with shared mixture
-    params. Returns (E, L)."""
+    params. Returns (E, L). Pass `log_fwd_resp` (the responsibilities
+    at x_el that `propose_ensemble` already computed) to skip one of
+    the three mixture passes per step."""
     if prop.symmetric:
         return jnp.zeros(x_el.shape[:2], dtype=x_el.dtype)
     E, L, d = x_el.shape
     K = prop.means.shape[1]
-    log_fwd_resp = _ensemble_log_resp(prop, x_el)
+    if log_fwd_resp is None:
+        log_fwd_resp = _ensemble_log_resp(prop, x_el)
     log_rev_resp = _ensemble_log_resp(prop, new_el)
 
     scales_el = prop.scales.reshape(E, L, K)

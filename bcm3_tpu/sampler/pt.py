@@ -654,7 +654,7 @@ class SamplerPT:
                 # intermediate (87 GB at d=520; see proposal.py)
                 E, L = self.num_ensembles, self.ladder_size
                 d = x_block.shape[-1]
-                nb, sel = prop_mod.propose_ensemble(
+                nb, sel, log_fwd_resp = prop_mod.propose_ensemble(
                     prop,
                     x_block.reshape(E, L, d),
                     lower,
@@ -714,7 +714,10 @@ class SamplerPT:
                 E, L = self.num_ensembles, self.ladder_size
                 d = x_block.shape[-1]
                 mh = prop_mod.mh_log_ratio_ensemble(
-                    prop, x_block.reshape(E, L, d), new_block.reshape(E, L, d)
+                    prop,
+                    x_block.reshape(E, L, d),
+                    new_block.reshape(E, L, d),
+                    log_fwd_resp=log_fwd_resp,
                 ).reshape(C)
             else:
                 mh = self._prop_apply(

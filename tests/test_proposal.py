@@ -161,7 +161,7 @@ def test_ensemble_propose_matches_vmapped_per_chain():
         x = jnp.asarray(rng.normal(size=(C, d)))
         keys = jax.random.split(jax.random.PRNGKey(11), C)
 
-        nb_e, sel_e = pm.propose_ensemble(
+        nb_e, sel_e, _ = pm.propose_ensemble(
             prop, x.reshape(E, L, d), lower, upper, keys.reshape(E, L, -1)
         )
 
